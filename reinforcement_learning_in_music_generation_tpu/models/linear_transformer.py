@@ -1,0 +1,224 @@
+"""Causal linear-attention CP transformer (the flagship model family).
+
+One parameterized implementation covering the reference's duplicated
+classes: `LinearTransformer` (dqn_policy/model.py:97-298), `TransformerModel`
+(dqn_policy/agent_pretrain.py:213-477), `Actor_Transformer`
+(ppo_policy/model.py:98-280, + value head) and the trunk of
+`Critic_Transformer` (ppo_policy/model.py:285-394, via models/critic.py).
+
+Architecture (post-norm, matching fast_transformers' TransformerEncoderLayer):
+
+    x -> 6 scaled embeddings -> concat(1216) -> in_linear(512) -> +sinusoidal
+      -> 12x [ attn -> +res -> LN1 -> gelu FFN(2048) -> +res -> LN2 ] -> LN
+      -> 6 independent heads
+
+Two execution modes, numerically consistent:
+  * parallel training mode: `forward_hidden` with the chunked causal linear
+    attention kernel (ops/linear_attention.py), `lax.scan` over stacked
+    layer params;
+  * O(1)-state recurrent decode: `decode_step` carrying per-layer (S, z)
+    states — fast_transformers' RecurrentEncoderBuilder equivalent
+    (dqn_policy/model.py:141-150,236-238).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import LinearTransformerConfig
+from ..ops.linear_attention import (
+    causal_linear_attention,
+    init_attention_state,
+    linear_attention_step,
+)
+from . import common as cm
+
+
+# ---------------------------------------------------------------------------
+# init
+# ---------------------------------------------------------------------------
+
+def _init_layer(rng: jax.Array, cfg: LinearTransformerConfig) -> dict:
+    ks = jax.random.split(rng, 6)
+    d = cfg.d_model
+    return {
+        "wq": cm.init_linear(ks[0], d, d),
+        "wk": cm.init_linear(ks[1], d, d),
+        "wv": cm.init_linear(ks[2], d, d),
+        "wo": cm.init_linear(ks[3], d, d),
+        "ln1": cm.init_layernorm(d),
+        "ln2": cm.init_layernorm(d),
+        "ffn1": cm.init_linear(ks[4], d, cfg.d_inner),
+        "ffn2": cm.init_linear(ks[5], cfg.d_inner, d),
+    }
+
+
+def init_params(rng: jax.Array, cfg: LinearTransformerConfig) -> dict:
+    k_emb, k_in, k_layers, k_heads, k_val = jax.random.split(rng, 5)
+    layer_keys = jax.random.split(k_layers, cfg.n_layer)
+    layers = jax.vmap(lambda k: _init_layer(k, cfg))(layer_keys)  # stacked (L, ...)
+    params = {
+        "emb": cm.init_field_embeddings(k_emb, cfg.vocab_sizes, cfg.emb_sizes),
+        "in_linear": cm.init_linear(k_in, sum(cfg.emb_sizes), cfg.d_model),
+        "layers": layers,
+        "final_ln": cm.init_layernorm(cfg.d_model),
+        "heads": cm.init_field_heads(k_heads, cfg.d_model, cfg.vocab_sizes),
+    }
+    if cfg.with_value_head:
+        kv1, kv2 = jax.random.split(k_val)
+        params["value_head"] = {
+            "l1": cm.init_linear(kv1, cfg.d_model, 128),
+            "l2": cm.init_linear(kv2, 128, 1),
+        }
+    return params
+
+
+def n_params(params) -> int:
+    """Trainable param count (dqn_policy/model.py:61-65 network_paras)."""
+    return sum(x.size for x in jax.tree_util.tree_leaves(params))
+
+
+# ---------------------------------------------------------------------------
+# parallel (training) mode
+# ---------------------------------------------------------------------------
+
+def _split_heads(x: jax.Array, n_head: int) -> jax.Array:
+    b, s, d = x.shape
+    return x.reshape(b, s, n_head, d // n_head).transpose(0, 2, 1, 3)
+
+
+def _merge_heads(x: jax.Array) -> jax.Array:
+    b, h, s, dh = x.shape
+    return x.transpose(0, 2, 1, 3).reshape(b, s, h * dh)
+
+
+def _layer_forward(cfg: LinearTransformerConfig, h: jax.Array, lp: dict,
+                   rng: Optional[jax.Array], deterministic: bool,
+                   attn_backend: Optional[str]) -> jax.Array:
+    r1 = r2 = r3 = None
+    if not deterministic and rng is not None:
+        r1, r2, r3 = jax.random.split(rng, 3)
+    q = _split_heads(cm.linear(lp["wq"], h), cfg.n_head)
+    k = _split_heads(cm.linear(lp["wk"], h), cfg.n_head)
+    v = _split_heads(cm.linear(lp["wv"], h), cfg.n_head)
+    att = causal_linear_attention(q, k, v, eps=cfg.attn_eps, backend=attn_backend)
+    att = cm.linear(lp["wo"], _merge_heads(att))
+    h = cm.layernorm(lp["ln1"], h + cm.dropout(r1, att, cfg.dropout, deterministic))
+    y = jax.nn.gelu(cm.linear(lp["ffn1"], h), approximate=False)
+    y = cm.dropout(r2, y, cfg.dropout, deterministic)
+    y = cm.linear(lp["ffn2"], y)
+    y = cm.dropout(r3, y, cfg.dropout, deterministic)
+    return cm.layernorm(lp["ln2"], h + y)
+
+
+def forward_hidden(params: dict, cfg: LinearTransformerConfig, x: jax.Array,
+                   *, deterministic: bool = True,
+                   rng: Optional[jax.Array] = None,
+                   attn_backend: Optional[str] = None) -> jax.Array:
+    """x (B, S, n_fields) int32 -> h (B, S, D).
+
+    Mirrors dqn_policy/model.py:200-233 (embeddings -> in_linear -> pos-enc
+    -> causal-linear encoder)."""
+    b, s, _ = x.shape
+    embs = cm.embed_fields(params["emb"], x)
+    h = cm.linear(params["in_linear"], embs)
+    pe = cm.sinusoidal_table(s, cfg.d_model, h.dtype)
+    h = h + pe[None]
+    rng_in = None
+    layer_rngs = None
+    if not deterministic and rng is not None:
+        rng_in, rng_layers = jax.random.split(rng)
+        layer_rngs = jax.random.split(rng_layers, cfg.n_layer)
+    h = cm.dropout(rng_in, h, cfg.dropout, deterministic)
+
+    def body(h, inp):
+        lp, lr = inp
+        return _layer_forward(cfg, h, lp, lr, deterministic, attn_backend), None
+
+    if layer_rngs is None:
+        layer_rngs = jnp.zeros((cfg.n_layer, 2), jnp.uint32)
+    h, _ = jax.lax.scan(body, h, (params["layers"], layer_rngs))
+    return cm.layernorm(params["final_ln"], h)
+
+
+def forward_output(params: dict, cfg: LinearTransformerConfig,
+                   h: jax.Array) -> Tuple[jax.Array, ...]:
+    """h -> tuple of per-field logits (dqn_policy/model.py:241-249)."""
+    return cm.apply_field_heads(params["heads"], h, cfg.n_fields)
+
+
+def value_head(params: dict, h: jax.Array) -> jax.Array:
+    """PPO actor value head (ppo_policy/model.py:154-158): D->128->relu->1."""
+    y = jax.nn.relu(cm.linear(params["value_head"]["l1"], h))
+    return cm.linear(params["value_head"]["l2"], y)[..., 0]
+
+
+def train_losses(params: dict, cfg: LinearTransformerConfig, x: jax.Array,
+                 target: jax.Array, mask: jax.Array, *,
+                 deterministic: bool = False,
+                 rng: Optional[jax.Array] = None,
+                 attn_backend: Optional[str] = None) -> jax.Array:
+    """Per-field masked CE (n_fields,), as LinearTransformer.train_step
+    (dqn_policy/model.py:170-197)."""
+    from ..ops.losses import fields_cross_entropy
+    h = forward_hidden(params, cfg, x, deterministic=deterministic, rng=rng,
+                       attn_backend=attn_backend)
+    logits = forward_output(params, cfg, h)
+    return fields_cross_entropy(logits, target, mask)
+
+
+# ---------------------------------------------------------------------------
+# recurrent decode mode
+# ---------------------------------------------------------------------------
+
+class DecodeState(NamedTuple):
+    s: jax.Array       # (L, B, H, Dh, Dh) running sum phi(k) v^T per layer
+    z: jax.Array       # (L, B, H, Dh)
+    step: jax.Array    # () int32 absolute position (for positional encoding)
+
+
+def init_decode_state(cfg: LinearTransformerConfig, batch: int,
+                      dtype=jnp.float32) -> DecodeState:
+    dh = cfg.d_head
+    return DecodeState(
+        s=jnp.zeros((cfg.n_layer, batch, cfg.n_head, dh, dh), dtype),
+        z=jnp.zeros((cfg.n_layer, batch, cfg.n_head, dh), dtype),
+        step=jnp.zeros((), jnp.int32),
+    )
+
+
+def decode_step(params: dict, cfg: LinearTransformerConfig, token: jax.Array,
+                state: DecodeState, *, pe_table: Optional[jax.Array] = None
+                ) -> Tuple[jax.Array, DecodeState]:
+    """One-token forward: token (B, n_fields) int -> (h_last (B, D), state').
+
+    Numerically identical to the parallel path at the same position; the
+    fast_transformers recurrent mode (dqn_policy/model.py:236-238).
+    ``pe_table``: optional precomputed sinusoidal table to avoid rebuilding.
+    """
+    b = token.shape[0]
+    embs = cm.embed_fields(params["emb"], token)
+    h = cm.linear(params["in_linear"], embs)                 # (B, D)
+    if pe_table is None:
+        pe_table = cm.sinusoidal_table(cfg.max_len, cfg.d_model, h.dtype)
+    h = h + pe_table[state.step]
+
+    def body(h, inp):
+        lp, s_l, z_l = inp
+        q = (cm.linear(lp["wq"], h)).reshape(b, cfg.n_head, cfg.d_head)
+        k = (cm.linear(lp["wk"], h)).reshape(b, cfg.n_head, cfg.d_head)
+        v = (cm.linear(lp["wv"], h)).reshape(b, cfg.n_head, cfg.d_head)
+        att, (s_l, z_l) = linear_attention_step(q, k, v, (s_l, z_l), eps=cfg.attn_eps)
+        att = cm.linear(lp["wo"], att.reshape(b, cfg.d_model))
+        h = cm.layernorm(lp["ln1"], h + att)
+        y = jax.nn.gelu(cm.linear(lp["ffn1"], h), approximate=False)
+        y = cm.linear(lp["ffn2"], y)
+        h = cm.layernorm(lp["ln2"], h + y)
+        return h, (s_l, z_l)
+
+    h, (new_s, new_z) = jax.lax.scan(body, h, (params["layers"], state.s, state.z))
+    h = cm.layernorm(params["final_ln"], h)
+    return h, DecodeState(new_s, new_z, state.step + 1)

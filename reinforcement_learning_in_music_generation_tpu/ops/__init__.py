@@ -1,0 +1,24 @@
+from .linear_attention import (
+    causal_linear_attention,
+    feature_map,
+    init_attention_state,
+    linear_attention_step,
+)
+from .losses import binary_cross_entropy, fields_cross_entropy, masked_cross_entropy
+from .sampling import CP_SAMPLING, FieldSampling, sample, sample_fields
+from .window_attention import window_attention
+
+__all__ = [
+    "causal_linear_attention",
+    "feature_map",
+    "init_attention_state",
+    "linear_attention_step",
+    "binary_cross_entropy",
+    "fields_cross_entropy",
+    "masked_cross_entropy",
+    "CP_SAMPLING",
+    "FieldSampling",
+    "sample",
+    "sample_fields",
+    "window_attention",
+]

@@ -1,0 +1,32 @@
+"""Test configuration: force an 8-device virtual CPU platform.
+
+The reference has no tests (SURVEY.md §4); this suite is designed from
+scratch.  Multi-chip sharding tests run on a fake 8-device CPU mesh — the
+standard JAX substitute for distributed test hardware.
+
+Must run before anything imports jax.
+"""
+
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+os.environ.setdefault("RLMG_ATTN_BACKEND", "xla")
+
+import jax  # noqa: E402
+
+# NOTE: the JAX_PLATFORMS env var is ignored by this environment's JAX build
+# (an experimental 'axon' TPU platform registers regardless); the config
+# update below is the reliable way to pin tests to the virtual CPU mesh.
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)

@@ -1,0 +1,131 @@
+"""Model-level tests: shapes, losses, parallel/recurrent decode equivalence,
+longformer variants."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import reinforcement_learning_in_music_generation_tpu as rlmg
+from reinforcement_learning_in_music_generation_tpu import config as C
+from reinforcement_learning_in_music_generation_tpu.models import (
+    critic, linear_transformer as lt, longformer as lf)
+
+SMALL = C.LinearTransformerConfig(
+    vocab_sizes=(10, 12, 8, 16, 9, 7), emb_sizes=(8, 8, 8, 8, 8, 8),
+    d_model=16, n_layer=2, n_head=2, d_inner=32)
+
+
+def rand_tokens(key, b, s, vocab_sizes):
+    cols = []
+    for i, v in enumerate(vocab_sizes):
+        key, k = jax.random.split(key)
+        cols.append(jax.random.randint(k, (b, s), 0, v))
+    return jnp.stack(cols, axis=-1).astype(jnp.int32)
+
+
+def test_forward_shapes_and_loss():
+    params = lt.init_params(jax.random.PRNGKey(0), SMALL)
+    x = rand_tokens(jax.random.PRNGKey(1), 2, 11, SMALL.vocab_sizes)
+    y = rand_tokens(jax.random.PRNGKey(2), 2, 11, SMALL.vocab_sizes)
+    mask = jnp.ones((2, 11))
+    h = lt.forward_hidden(params, SMALL, x)
+    assert h.shape == (2, 11, SMALL.d_model)
+    logits = lt.forward_output(params, SMALL, h)
+    assert len(logits) == 6
+    for lg, v in zip(logits, SMALL.vocab_sizes):
+        assert lg.shape == (2, 11, v)
+    losses = lt.train_losses(params, SMALL, x, y, mask, deterministic=True)
+    assert losses.shape == (6,)
+    assert bool(jnp.all(jnp.isfinite(losses)))
+
+
+def test_masked_positions_do_not_contribute():
+    params = lt.init_params(jax.random.PRNGKey(0), SMALL)
+    x = rand_tokens(jax.random.PRNGKey(1), 1, 8, SMALL.vocab_sizes)
+    y = rand_tokens(jax.random.PRNGKey(2), 1, 8, SMALL.vocab_sizes)
+    mask = jnp.array([[1, 1, 1, 1, 0, 0, 0, 0]], jnp.float32)
+    l1 = lt.train_losses(params, SMALL, x, y, mask, deterministic=True)
+    # corrupt targets only at masked positions
+    y2 = y.at[:, 4:].set((y[:, 4:] + 1) % jnp.array(SMALL.vocab_sizes))
+    l2 = lt.train_losses(params, SMALL, x, y2, mask, deterministic=True)
+    np.testing.assert_allclose(l1, l2, rtol=1e-6)
+
+
+def test_recurrent_decode_matches_parallel():
+    params = lt.init_params(jax.random.PRNGKey(0), SMALL)
+    x = rand_tokens(jax.random.PRNGKey(3), 2, 9, SMALL.vocab_sizes)
+    h_par = lt.forward_hidden(params, SMALL, x, deterministic=True)
+
+    state = lt.init_decode_state(SMALL, 2)
+    hs = []
+    for i in range(9):
+        h, state = lt.decode_step(params, SMALL, x[:, i], state)
+        hs.append(h)
+    h_rec = jnp.stack(hs, axis=1)
+    np.testing.assert_allclose(h_rec, h_par, rtol=2e-4, atol=2e-4)
+
+
+def test_value_head_and_critic():
+    cfg = C.LinearTransformerConfig(
+        vocab_sizes=SMALL.vocab_sizes, emb_sizes=SMALL.emb_sizes,
+        d_model=16, n_layer=2, n_head=2, d_inner=32, with_value_head=True)
+    params = lt.init_params(jax.random.PRNGKey(0), cfg)
+    x = rand_tokens(jax.random.PRNGKey(1), 3, 7, cfg.vocab_sizes)
+    h = lt.forward_hidden(params, cfg, x)
+    v = lt.value_head(params, h)
+    assert v.shape == (3, 7)
+
+    cparams = critic.init_params(jax.random.PRNGKey(4), cfg)
+    val = critic.value_produce(cparams, cfg, x)
+    assert val.shape == (3,)
+    assert bool(jnp.all(jnp.isfinite(val)))
+
+
+def test_longformer_variants():
+    cfg = C.WindowTransformerConfig(
+        vocab_sizes=SMALL.vocab_sizes, emb_sizes=(8,) * 6,
+        d_model=16, n_layer=2, n_head=2, d_inner=32,
+        max_pos=64, attention_window=4,
+        with_score_head=True, with_eval_heads=True)
+    params = lf.init_params(jax.random.PRNGKey(0), cfg)
+    state = lf.init_state(cfg)
+    x = rand_tokens(jax.random.PRNGKey(1), 3, 12, cfg.vocab_sizes)
+    y = rand_tokens(jax.random.PRNGKey(2), 3, 12, cfg.vocab_sizes)
+    mask = jnp.ones((3, 12))
+
+    score, new_state = lf.score_forward(params, cfg, x, mask, state, train=True)
+    assert score.shape == (3, 1)
+    assert bool(jnp.all((score >= 0) & (score <= 1)))
+    assert not np.allclose(new_state["bn_mean"], state["bn_mean"])
+
+    ce = lf.token_ce(params, cfg, x, y, mask)
+    assert np.isfinite(float(ce))
+
+    ev = lf.eval_score(params, cfg, x, mask)
+    assert ev.shape == (3, 1)
+    assert bool(jnp.all((ev >= 0) & (ev <= 1)))
+
+
+def test_window_locality():
+    """A token outside the attention window must not influence the output."""
+    cfg = C.WindowTransformerConfig(
+        vocab_sizes=SMALL.vocab_sizes, emb_sizes=(8,) * 6,
+        d_model=16, n_layer=1, n_head=2, d_inner=32,
+        max_pos=64, attention_window=2,  # one-sided window 1
+        with_score_head=False, position_embedding_type="absolute")
+    params = lf.init_params(jax.random.PRNGKey(0), cfg)
+    x = rand_tokens(jax.random.PRNGKey(1), 1, 10, cfg.vocab_sizes)
+    h1 = lf.forward(params, cfg, x)
+    x2 = x.at[0, 9].set((x[0, 9] + 1) % jnp.array(cfg.vocab_sizes))
+    h2 = lf.forward(params, cfg, x2)
+    # position 0..7 unaffected by change at position 9 (window=1 each side)
+    np.testing.assert_allclose(h1[0, :8], h2[0, :8], atol=1e-6)
+    assert not np.allclose(h1[0, 9], h2[0, 9])
+
+
+def test_param_count_flagship():
+    cfg = C.agent_config()
+    params = lt.init_params(jax.random.PRNGKey(0), cfg)
+    n = lt.n_params(params)
+    # 12L d512 CP model: ~39M (sanity band)
+    assert 20e6 < n < 80e6
