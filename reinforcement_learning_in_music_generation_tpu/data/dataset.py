@@ -151,9 +151,10 @@ def synthetic_cp_dataset(n_songs: int = 16, seq_len: int = 512,
             if beat % 8 == 0:
                 xs[s, t] = [0, 0, 1, 0, 0, 0]              # Bar row
             elif rng.random() < 0.3:
+                n_beats = max(1, n_class[2] - 2)
                 xs[s, t] = [int(rng.integers(0, n_class[0])),
                             int(rng.integers(0, n_class[1])),
-                            2 + (beat % 16), 0, 0, 0]      # Beat row
+                            2 + (beat % n_beats), 0, 0, 0]  # Beat row
             else:
                 xs[s, t] = [0, 0, 0,
                             int(rng.integers(1, n_class[3])),

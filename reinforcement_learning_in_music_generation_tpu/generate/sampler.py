@@ -1,0 +1,122 @@
+"""Autoregressive generation: the whole decode loop in one XLA program.
+
+The reference generates one token at a time with a device->host round trip
+per token (GPU logits -> numpy softmax/sort -> np.random.choice -> back to
+GPU; dqn_policy/testing-no-type-cp.py:126-179 + model.py:259-298) and one
+song at a time.  Here the loop is a `lax.scan` over the recurrent O(1)
+decode state, batched over songs, with on-device per-field sampling
+(ops/sampling.py), so decode speed is bounded by TPU step latency instead
+of PCIe+numpy.
+
+Stop conditions:
+  * bar count (testing-no-type-cp.py:169-174): a token whose bar-beat field
+    decodes to 'Bar' increments the count; a song is done when its count
+    reaches `bar_cond` (the final Bar token is kept, matching the
+    reference).  The scan runs `max_tokens` steps; finished songs keep
+    emitting masked-out padding.
+  * fixed token budget (ppo config TOKEN_COUNT, ppo_policy/inference.py).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import GenerateConfig, LinearTransformerConfig
+from ..models import linear_transformer as lt
+from ..ops import sampling as smp
+
+
+class GenResult(NamedTuple):
+    tokens: jax.Array     # (B, T, n_fields) int32, including seed tokens
+    valid: jax.Array      # (B, T) bool
+    n_bars: jax.Array     # (B,) int32
+
+
+# Default seed: the '[0,0,1,0,0,0]' bar row (testing-no-type-cp.py:135-137)
+CP_SEED = (0, 0, 1, 0, 0, 0)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "max_tokens", "bar_cond", "token_count",
+                     "barbeat_field", "bar_token_id", "greedy", "settings"))
+def generate_tokens(params, cfg: LinearTransformerConfig, rng: jax.Array,
+                    init_tokens: jax.Array, *, max_tokens: int,
+                    bar_cond: Optional[int] = None,
+                    token_count: Optional[int] = None,
+                    barbeat_field: int = 2, bar_token_id: int = 1,
+                    greedy: bool = False,
+                    settings: Tuple[smp.FieldSampling, ...] = tuple(smp.CP_SAMPLING),
+                    ) -> GenResult:
+    """init_tokens (B, T0, n_fields) seeds the state (teacher-forced), then
+    `max_tokens` sampled steps.  Returns seed+generated tokens."""
+    b, t0, nf = init_tokens.shape
+    pe = None  # decode_step builds its own table; share one instead:
+    from ..models import common as cm
+    pe = cm.sinusoidal_table(cfg.max_len, cfg.d_model)
+
+    state = lt.init_decode_state(cfg, b)
+    h = jnp.zeros((b, cfg.d_model))
+    # seed: feed init tokens
+    def seed_body(carry, tok):
+        h, state = carry
+        h, state = lt.decode_step(params, cfg, tok, state, pe_table=pe)
+        return (h, state), None
+    (h, state), _ = jax.lax.scan(seed_body, (h, state),
+                                 init_tokens.transpose(1, 0, 2))
+
+    init_bars = jnp.sum(init_tokens[..., barbeat_field] == bar_token_id,
+                        axis=1).astype(jnp.int32)
+
+    def step(carry, rng_t):
+        h, state, bars, done = carry
+        logits = lt.forward_output(params, cfg, h)
+        tok = smp.sample_fields(rng_t, logits, settings, greedy=greedy)
+        tok = jnp.where(done[:, None], jnp.zeros_like(tok), tok)
+        is_bar = (tok[..., barbeat_field] == bar_token_id) & (~done)
+        bars = bars + is_bar.astype(jnp.int32)
+        valid_now = ~done
+        if bar_cond is not None:
+            done = done | (bars >= bar_cond)
+        h, state = lt.decode_step(params, cfg, tok, state, pe_table=pe)
+        return (h, state, bars, done), (tok, valid_now)
+
+    rngs = jax.random.split(rng, max_tokens)
+    done0 = jnp.zeros((b,), bool)
+    if bar_cond is not None:
+        done0 = init_bars >= bar_cond
+    (_, _, bars, _), (toks, valid) = jax.lax.scan(
+        step, (h, state, init_bars, done0), rngs)
+    toks = toks.transpose(1, 0, 2)          # (B, T, nf)
+    valid = valid.transpose(1, 0)           # (B, T)
+    if token_count is not None:
+        idx = jnp.arange(max_tokens)[None, :]
+        valid = valid & (idx < token_count)
+    tokens = jnp.concatenate([init_tokens.astype(jnp.int32), toks], axis=1)
+    valid = jnp.concatenate([jnp.ones((b, t0), bool), valid], axis=1)
+    return GenResult(tokens=tokens, valid=valid, n_bars=bars)
+
+
+def generate_songs(params, cfg: LinearTransformerConfig,
+                   gen_cfg: GenerateConfig, *, rng: Optional[jax.Array] = None,
+                   init: Sequence[int] = CP_SEED) -> list:
+    """Host-side convenience: returns a list of (n_tokens_i, nf) numpy arrays,
+    one per song (valid prefix only)."""
+    import numpy as np
+    rng = rng if rng is not None else jax.random.PRNGKey(gen_cfg.seed)
+    b = gen_cfg.batch_size
+    init_tokens = jnp.tile(jnp.asarray(init, jnp.int32)[None, None, :], (b, 1, 1))
+    res = generate_tokens(
+        params, cfg, rng, init_tokens,
+        max_tokens=gen_cfg.max_tokens,
+        bar_cond=gen_cfg.bar_production if gen_cfg.token_count is None else None,
+        token_count=gen_cfg.token_count,
+        greedy=gen_cfg.greedy,
+        settings=tuple(smp.GREEDY) if gen_cfg.greedy else tuple(smp.CP_SAMPLING))
+    tokens = np.asarray(res.tokens)
+    valid = np.asarray(res.valid)
+    return [tokens[i][valid[i]] for i in range(b)]

@@ -1,0 +1,140 @@
+"""Agent / discriminator pretrain loops (R1-R3 of SURVEY §2.3).
+
+One jitted train step (loss = mean of 6 masked field CEs, Adam lr 1e-4,
+grad-clip 3 — dqn_policy/agent_pretrain.py:516,557-565) running under a
+('dp','tp') mesh: batches sharded over dp, Megatron weight shardings over
+tp (parallel/sharding.py).  Loss-bucketed checkpoints and early stop at
+loss <= 0.05 reproduce agent_pretrain.py:594-632.
+"""
+
+from __future__ import annotations
+
+import functools
+import time
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import LinearTransformerConfig, PretrainConfig, WindowTransformerConfig
+from ..models import linear_transformer as lt
+from ..models import longformer as lf
+from ..utils.saver import MetricsBus, Saver, loss_bucket_filename
+from ..utils.checkpoint import save_checkpoint
+from . import optim
+
+
+# ---------------------------------------------------------------------------
+# jitted steps
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("cfg", "tx"), donate_argnums=(0, 1))
+def agent_train_step(params, opt_state, cfg: LinearTransformerConfig, tx,
+                     x, y, mask, rng):
+    """One CE pretrain step -> (params', opt_state', (loss, per-field))."""
+    def loss_fn(p):
+        losses = lt.train_losses(p, cfg, x, y, mask, deterministic=False, rng=rng)
+        return jnp.mean(losses), losses
+
+    (loss, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+    updates, opt_state = tx.update(grads, opt_state, params)
+    import optax
+    params = optax.apply_updates(params, updates)
+    return params, opt_state, (loss, losses)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "tx"), donate_argnums=(0, 1))
+def longformer_lm_step(params, opt_state, cfg: WindowTransformerConfig, tx,
+                       x, y, mask, rng):
+    """Discriminator LM pretrain step (dqn_policy/discrim-pretrain.py:342-
+    490): per-field masked CE through the window transformer."""
+    from ..ops.losses import fields_cross_entropy
+
+    def loss_fn(p):
+        logits = lf.token_logits(p, cfg, x, mask, deterministic=False, rng=rng)
+        losses = fields_cross_entropy(logits, y, mask)
+        return jnp.mean(losses), losses
+
+    (loss, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+    updates, opt_state = tx.update(grads, opt_state, params)
+    import optax
+    params = optax.apply_updates(params, updates)
+    return params, opt_state, (loss, losses)
+
+
+# ---------------------------------------------------------------------------
+# host loop
+# ---------------------------------------------------------------------------
+
+def pretrain(params, cfg, train_x, train_y, train_mask,
+             pcfg: PretrainConfig = PretrainConfig(), *,
+             step_fn: Callable = agent_train_step,
+             mesh=None, metrics: Optional[MetricsBus] = None,
+             max_steps: Optional[int] = None,
+             on_epoch_end: Optional[Callable] = None):
+    """Full pretrain loop (agent_pretrain.py:485-632).
+
+    Returns (params, opt_state, history).  `max_steps` bounds total batches
+    (for tests/benchmarks); `mesh` shards batches over 'dp'.
+    """
+    tx = optim.adam(pcfg.lr, grad_clip=pcfg.grad_clip)
+    opt_state = tx.init(params)
+    saver = Saver(pcfg.exp_dir)
+    bus = metrics or MetricsBus(saver)
+    saver.add_summary_msg(
+        f" > params amount: {lt.n_params(params):,d}")
+
+    if mesh is not None:
+        from ..parallel import shard_batch, shard_params
+        params = shard_params(mesh, params)
+
+    n = len(train_x)
+    num_batch = n // pcfg.batch_size
+    rng = jax.random.PRNGKey(pcfg.seed)
+    steps_done = 0
+    history = []
+    start = time.time()
+    for epoch in range(pcfg.n_epoch):
+        acc_loss = 0.0
+        acc_losses = np.zeros(len(cfg.vocab_sizes))
+        for bidx in range(num_batch):
+            saver.global_step_increment()
+            lo, hi = bidx * pcfg.batch_size, (bidx + 1) * pcfg.batch_size
+            bx = jnp.asarray(train_x[lo:hi])
+            by = jnp.asarray(train_y[lo:hi])
+            bm = jnp.asarray(train_mask[lo:hi], jnp.float32)
+            if mesh is not None:
+                from ..parallel import shard_batch
+                bx, by, bm = shard_batch(mesh, (bx, by, bm))
+            rng, step_rng = jax.random.split(rng)
+            params, opt_state, (loss, losses) = step_fn(
+                params, opt_state, cfg, tx, bx, by, bm, step_rng)
+            loss_f = float(loss)
+            acc_loss += loss_f
+            acc_losses += np.asarray(losses)
+            bus.log({"batch loss": loss_f})
+            steps_done += 1
+            if max_steps is not None and steps_done >= max_steps:
+                return params, opt_state, history
+
+        epoch_loss = acc_loss / max(num_batch, 1)
+        history.append(epoch_loss)
+        runtime = time.time() - start
+        bus.log({"epoch loss": epoch_loss})
+        saver.add_summary("epoch each loss", ", ".join(
+            f"{v / max(num_batch, 1):04f}" for v in acc_losses))
+        if on_epoch_end is not None:
+            on_epoch_end(epoch, epoch_loss, params, opt_state)
+
+        # loss-bucketed checkpointing + early stop (agent_pretrain.py:594-632)
+        bucket = loss_bucket_filename(epoch_loss)
+        if bucket is None:
+            save_checkpoint(f"{pcfg.ckpt_dir}/trainloss_final.ckpt", params,
+                            opt_state, step=saver.global_step,
+                            extra={"epoch": epoch, "loss": epoch_loss})
+            return params, opt_state, history
+        save_checkpoint(f"{pcfg.ckpt_dir}/{bucket}.ckpt", params, opt_state,
+                        step=saver.global_step,
+                        extra={"epoch": epoch, "loss": epoch_loss})
+    return params, opt_state, history
