@@ -1,0 +1,164 @@
+"""RL layer: buffers, DQN rollout/update, AIRL discriminator, PPO."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from reinforcement_learning_in_music_generation_tpu import config as C
+from reinforcement_learning_in_music_generation_tpu.data import dataset
+from reinforcement_learning_in_music_generation_tpu.models import (
+    linear_transformer as lt, longformer as lf)
+from reinforcement_learning_in_music_generation_tpu.rl import (
+    airl, buffers, dqn, env, ppo)
+
+VOCAB = (8, 8, 8, 8, 8, 8)
+TINY = C.LinearTransformerConfig(vocab_sizes=VOCAB, emb_sizes=(8,) * 6,
+                                 d_model=16, n_layer=1, n_head=2, d_inner=32)
+TINY_W = C.WindowTransformerConfig(
+    vocab_sizes=VOCAB, emb_sizes=(8,) * 6, d_model=16, n_layer=1, n_head=2,
+    d_inner=32, max_pos=64, attention_window=8,
+    with_score_head=True, with_eval_heads=True)
+DQN_CFG = C.DQNConfig(n_states=10, n_actions=5, episodes=4,
+                      buffer_size=16, batch_size=4, target_update=2)
+
+
+def _song(seed=0, length=128):
+    x, y, mask = dataset.synthetic_cp_dataset(1, length, n_class=VOCAB, seed=seed)
+    return jnp.asarray(x[0]), jnp.asarray(y[0]), jnp.asarray(mask[0])
+
+
+def test_buffer_ring_semantics():
+    buf = buffers.buffer_init(4, buffers.agent_field_specs(3, 2, 6))
+    for i in range(6):
+        t = {
+            "state": jnp.full((3, 6), i, jnp.int32),
+            "action": jnp.zeros((2, 6), jnp.int32),
+            "reward": jnp.array([float(i)]),
+            "next_state": jnp.zeros((3, 6), jnp.int32),
+            "done": jnp.zeros((1,), jnp.int32),
+        }
+        buf = buffers.buffer_store(buf, t)
+    assert int(buf.counter) == 6
+    # ring wrapped: slots hold entries 4,5,2,3
+    assert float(buf.data["reward"][0, 0]) == 4.0
+    assert float(buf.data["reward"][1, 0]) == 5.0
+    assert float(buf.data["reward"][2, 0]) == 2.0
+    batch = buffers.buffer_sample(buf, jax.random.PRNGKey(0), 3)
+    assert batch["state"].shape == (3, 3, 6)
+
+
+def test_buffer_store_batch():
+    buf = buffers.buffer_init(8, {"reward": ((1,), jnp.float32)})
+    batch = {"reward": jnp.arange(5, dtype=jnp.float32)[:, None]}
+    buf = buffers.buffer_store_batch(buf, batch)
+    buf = buffers.buffer_store_batch(buf, batch)
+    assert int(buf.counter) == 10
+    # second write wrapped: slots 5,6,7 hold 0,1,2; slots 0,1 hold 3,4
+    np.testing.assert_allclose(np.asarray(buf.data["reward"][:2, 0]), [3, 4])
+
+
+def test_dqn_choose_action_and_rollout():
+    params = lt.init_params(jax.random.PRNGKey(0), TINY)
+    x, y, mask = _song()
+    action = dqn.choose_action(params, TINY, x[None, :10], n_actions=5)
+    assert action.shape == (1, 5, 6)
+    assert int(action.max()) < max(VOCAB)
+
+    agent_ts, expert_ts = env.dqn_rollout_song(
+        params, TINY, x, y, mask, episodes=4, n_states=10, n_actions=5)
+    assert agent_ts["state"].shape == (4, 10, 6)
+    assert expert_ts["mask_state"].shape == (4, 10)
+    # next_state = concat(state[:5], action)
+    np.testing.assert_array_equal(
+        np.asarray(agent_ts["next_state"][0, :5]),
+        np.asarray(agent_ts["state"][0, :5]))
+    # state advances: episode 1's state == episode 0's next_state
+    np.testing.assert_array_equal(
+        np.asarray(agent_ts["state"][1]), np.asarray(agent_ts["next_state"][0]))
+
+
+def test_dqn_update_runs_and_syncs_target():
+    state = dqn.init_state(jax.random.PRNGKey(0), TINY, DQN_CFG)
+    tx = dqn.make_optimizer(DQN_CFG)
+    x, y, mask = _song()
+    agent_ts, expert_ts = env.dqn_rollout_song(
+        state.eval_params, TINY, x, y, mask, episodes=4, n_states=10, n_actions=5)
+    batch = {k: v for k, v in agent_ts.items()}
+    expert_batch = {"state": expert_ts["state"],
+                    "next_state": expert_ts["next_state"],
+                    "mask_next_state": expert_ts["mask_next_state"]}
+    state2, metrics = dqn.update(state, TINY, DQN_CFG, tx, batch, expert_batch,
+                                 jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics["total"]))
+    assert int(state2.target_count) == 1
+    # first update synced target to eval
+    t0 = jax.tree_util.tree_leaves(state2.target_params)[0]
+    e0 = jax.tree_util.tree_leaves(state.eval_params)[0]
+    np.testing.assert_allclose(np.asarray(t0), np.asarray(e0))
+
+
+def test_airl_disc_update_and_reward():
+    acfg = C.AIRLConfig(epochs=1, batch_size=4)
+    st = airl.init_state(jax.random.PRNGKey(0), TINY_W, acfg)
+    tx = airl.make_optimizer(acfg)
+    n = 8
+    rngk = jax.random.PRNGKey(1)
+    states = jax.random.randint(rngk, (n, 10, 6), 0, 8)
+    masks = jnp.ones((n, 10))
+    agent_buf = {"state": states}
+    expert_buf = {"state": states, "mask_state": masks}
+    st2, agent_r, expert_r, hist = airl.update_disc(
+        st, TINY_W, acfg, tx, agent_buf, expert_buf, jax.random.PRNGKey(2))
+    assert agent_r.shape == (n, 1)
+    assert bool(jnp.all((agent_r >= 0) & (agent_r <= 1)))
+    assert len(hist) == 1 and np.isfinite(hist[0]["global_loss"])
+    # params actually moved
+    l0 = jax.tree_util.tree_leaves(st.params)[0]
+    l1 = jax.tree_util.tree_leaves(st2.params)[0]
+    assert not np.allclose(np.asarray(l0), np.asarray(l1))
+
+
+def test_ppo_returns_and_advantages():
+    rewards = jnp.array([1.0, 0.0, 0.0, 0.0])
+    ret = ppo.calculate_returns(rewards, 0.5, normalize=False)
+    # standard reverse accumulation: only t=0 sees the reward
+    np.testing.assert_allclose(np.asarray(ret[:, 0]), [1.0, 0.0, 0.0, 0.0])
+    ret_c = ppo.calculate_returns(rewards, 0.5, normalize=False,
+                                  compat_forward=True)
+    # reference quirk (ppo_train.py:348-357): forward accumulation + insert(0)
+    # discounts the first reward most: [0.125, 0.25, 0.5, 1.0]
+    np.testing.assert_allclose(np.asarray(ret_c[:, 0]), [0.125, 0.25, 0.5, 1.0])
+    adv = ppo.calculate_advantages(ret, jnp.zeros((4, 1)), normalize=False)
+    np.testing.assert_allclose(np.asarray(adv), np.asarray(ret))
+
+
+def test_ppo_rollout_and_update():
+    cfg = C.PPOConfig(episodes=3, n_states=10, n_actions=5, ppo_steps=2)
+    ccfg = TINY
+    state = ppo.init_state(jax.random.PRNGKey(0),
+                           C.LinearTransformerConfig(
+                               vocab_sizes=VOCAB, emb_sizes=(8,) * 6,
+                               d_model=16, n_layer=1, n_head=2, d_inner=32,
+                               with_value_head=True),
+                           ccfg, TINY_W, cfg)
+    acfg = C.LinearTransformerConfig(
+        vocab_sizes=VOCAB, emb_sizes=(8,) * 6, d_model=16, n_layer=1,
+        n_head=2, d_inner=32, with_value_head=True)
+    cfgs = (acfg, ccfg, TINY_W)
+    x, y, mask = _song()
+    agent_ts, expert_ts = ppo.rollout_song(
+        state, cfgs, x, y, mask, episodes=3, n_states=10, n_actions=5)
+    assert agent_ts["log_action"].shape == (3, 5, 6)
+    assert agent_ts["value"].shape == (3, 1)
+    returns = ppo.calculate_returns(agent_ts["reward"][:, 0], cfg.discount)
+    adv = ppo.calculate_advantages(returns, agent_ts["value"])
+    txs = ppo.make_optimizers(cfg)
+    st2, metrics = ppo.update_policy(
+        state, cfgs, cfg, txs, agent_ts, expert_ts, adv, returns,
+        jax.random.PRNGKey(3))
+    assert np.isfinite(float(metrics["actor_loss"]))
+    assert np.isfinite(float(metrics["value_loss"]))
+    a0 = jax.tree_util.tree_leaves(state.actor_params)[0]
+    a1 = jax.tree_util.tree_leaves(st2.actor_params)[0]
+    assert not np.allclose(np.asarray(a0), np.asarray(a1))
