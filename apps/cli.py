@@ -26,6 +26,11 @@ import numpy as np
 
 def _jax():
     import jax
+    plat = os.environ.get("RLMG_PLATFORM")
+    if plat:
+        # The env var JAX_PLATFORMS is unreliable with the experimental
+        # axon plugin; the config update is authoritative.
+        jax.config.update("jax_platforms", plat)
     return jax
 
 

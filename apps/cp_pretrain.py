@@ -1,0 +1,6 @@
+"""Thin shim mapping the reference entry point `cp_pretrain` to `cli.py pretrain`."""
+import sys
+from cli import main
+
+if __name__ == "__main__":
+    main(["pretrain"] + sys.argv[1:])

@@ -171,29 +171,34 @@ def _bwd_xla(q, k, v, out, den, g, eps, chunk):
 # Pallas TPU kernels
 # ---------------------------------------------------------------------------
 
-def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, den_ref, s_acc, z_acc, *, eps):
+# The kernels use an augmented-column formulation: v is extended with a ones
+# column so the denominator (and its gradient carry) ride along as the last
+# column of the same matmuls — S_aug = [S | z], num_aug = [num | den].  This
+# keeps every pallas block 3D with full trailing dims (Mosaic tiling rule).
+
+def _fwd_kernel(q_ref, k_ref, va_ref, o_ref, s_acc):
     j = pl.program_id(1)
 
     @pl.when(j == 0)
     def _():
         s_acc[...] = jnp.zeros_like(s_acc)
-        z_acc[...] = jnp.zeros_like(z_acc)
 
     q = q_ref[0].astype(jnp.float32)
     k = k_ref[0].astype(jnp.float32)
-    v = v_ref[0].astype(jnp.float32)
+    va = va_ref[0].astype(jnp.float32)          # (C, F+1), last col = 1
     c = q.shape[0]
     row = jax.lax.broadcasted_iota(jnp.int32, (c, c), 0)
     col = jax.lax.broadcasted_iota(jnp.int32, (c, c), 1)
     a = jnp.dot(q, k.T, preferred_element_type=jnp.float32)
     a = jnp.where(row >= col, a, 0.0)
-    num = jnp.dot(a, v, preferred_element_type=jnp.float32)
+    num = jnp.dot(a, va, preferred_element_type=jnp.float32)
     num += jnp.dot(q, s_acc[...], preferred_element_type=jnp.float32)
-    den = jnp.sum(a, axis=-1) + jnp.dot(q, z_acc[0], preferred_element_type=jnp.float32)
-    o_ref[0] = (num / (den + eps)[:, None]).astype(o_ref.dtype)
-    den_ref[0] = den.astype(den_ref.dtype)
-    s_acc[...] += jnp.dot(k.T, v, preferred_element_type=jnp.float32)
-    z_acc[0] += jnp.sum(k, axis=0)
+    o_ref[0] = num.astype(o_ref.dtype)          # [:, :F]=num, [:, F]=den
+    s_acc[...] += jnp.dot(k.T, va, preferred_element_type=jnp.float32)
+
+
+def _aug_ones(v):
+    return jnp.concatenate([v, jnp.ones(v.shape[:-1] + (1,), v.dtype)], axis=-1)
 
 
 def _fwd_pallas(q, k, v, eps, chunk):
@@ -204,86 +209,77 @@ def _fwd_pallas(q, k, v, eps, chunk):
     nc = s // chunk
     qp = qp.reshape(b * h, s, e)
     kp = kp.reshape(b * h, s, e)
-    vp = vp.reshape(b * h, s, f)
+    vap = _aug_ones(vp.reshape(b * h, s, f))
 
     blk = lambda d: pl.BlockSpec((1, chunk, d), lambda i, j: (i, j, 0))
-    out, den = pl.pallas_call(
-        functools.partial(_fwd_kernel, eps=eps),
+    numden = pl.pallas_call(
+        _fwd_kernel,
         grid=(b * h, nc),
-        in_specs=[blk(e), blk(e), blk(f)],
-        out_specs=[blk(f), pl.BlockSpec((1, chunk), lambda i, j: (i, j))],
-        out_shape=[
-            jax.ShapeDtypeStruct((b * h, s, f), q.dtype),
-            jax.ShapeDtypeStruct((b * h, s), jnp.float32),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((e, f), jnp.float32),
-            pltpu.VMEM((1, e), jnp.float32),
-        ],
+        in_specs=[blk(e), blk(e), blk(f + 1)],
+        out_specs=blk(f + 1),
+        out_shape=jax.ShapeDtypeStruct((b * h, s, f + 1), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((e, f + 1), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
         ),
-    )(qp, kp, vp)
-    out = out.reshape(b, h, s, f)[:, :, :s0]
-    den = den.reshape(b, h, s)[:, :, :s0].astype(q.dtype)
-    return out, den
+    )(qp, kp, vap)
+    numden = numden.reshape(b, h, s, f + 1)[:, :, :s0]
+    den = numden[..., f]
+    out = (numden[..., :f] / (den + eps)[..., None]).astype(q.dtype)
+    return out, den.astype(q.dtype)
 
 
-def _bwd_dq_kernel(q_ref, k_ref, v_ref, dn_ref, dd_ref, dq_ref, s_acc, z_acc):
+def _bwd_dq_kernel(k_ref, va_ref, dna_ref, dq_ref, s_acc):
+    """Forward-order pass: dq_i = sum_{j<=i} (dn_aug_i . va_j) k_j
+    + dn_aug_i @ S_aug^T, with dn_aug = [dnum | dden]."""
     j = pl.program_id(1)
 
     @pl.when(j == 0)
     def _():
         s_acc[...] = jnp.zeros_like(s_acc)
-        z_acc[...] = jnp.zeros_like(z_acc)
 
-    q = q_ref[0].astype(jnp.float32)
     k = k_ref[0].astype(jnp.float32)
-    v = v_ref[0].astype(jnp.float32)
-    dn = dn_ref[0].astype(jnp.float32)
-    dd = dd_ref[0].astype(jnp.float32)
-    c = q.shape[0]
+    va = va_ref[0].astype(jnp.float32)
+    dna = dna_ref[0].astype(jnp.float32)
+    c = k.shape[0]
     row = jax.lax.broadcasted_iota(jnp.int32, (c, c), 0)
     col = jax.lax.broadcasted_iota(jnp.int32, (c, c), 1)
-    bmat = jnp.dot(dn, v.T, preferred_element_type=jnp.float32)
-    m = jnp.where(row >= col, bmat + dd[:, None], 0.0)
+    m = jnp.dot(dna, va.T, preferred_element_type=jnp.float32)
+    m = jnp.where(row >= col, m, 0.0)
     dq = jnp.dot(m, k, preferred_element_type=jnp.float32)
-    dq += jnp.dot(dn, s_acc[...].T, preferred_element_type=jnp.float32)
-    dq += dd[:, None] * z_acc[0][None, :]
+    dq += jnp.dot(dna, s_acc[...].T, preferred_element_type=jnp.float32)
     dq_ref[0] = dq.astype(dq_ref.dtype)
-    s_acc[...] += jnp.dot(k.T, v, preferred_element_type=jnp.float32)
-    z_acc[0] += jnp.sum(k, axis=0)
+    s_acc[...] += jnp.dot(k.T, va, preferred_element_type=jnp.float32)
 
 
-def _bwd_dkv_kernel(q_ref, k_ref, v_ref, dn_ref, dd_ref, dk_ref, dv_ref, g_acc, gz_acc):
+def _bwd_dkv_kernel(q_ref, k_ref, va_ref, dna_ref, dk_ref, dv_ref, g_acc):
+    """Reverse-order pass carrying G_aug = sum_{later} q_i (x) dn_aug_i:
+    dk_j = sum_{i>=j} (va_j . dn_aug_i) q_i + va_j @ G_aug^T,
+    dv_j = sum_{i>=j} (k_j . q_i) dnum_i + k_j @ G_aug (first F cols)."""
     j = pl.program_id(1)
 
     @pl.when(j == 0)
     def _():
         g_acc[...] = jnp.zeros_like(g_acc)
-        gz_acc[...] = jnp.zeros_like(gz_acc)
 
     q = q_ref[0].astype(jnp.float32)
     k = k_ref[0].astype(jnp.float32)
-    v = v_ref[0].astype(jnp.float32)
-    dn = dn_ref[0].astype(jnp.float32)
-    dd = dd_ref[0].astype(jnp.float32)
+    va = va_ref[0].astype(jnp.float32)
+    dna = dna_ref[0].astype(jnp.float32)
     c = q.shape[0]
     row = jax.lax.broadcasted_iota(jnp.int32, (c, c), 0)   # j index
     col = jax.lax.broadcasted_iota(jnp.int32, (c, c), 1)   # i index
     keep = col >= row                                       # i >= j
-    cmat = jnp.dot(v, dn.T, preferred_element_type=jnp.float32)   # (j, i)
-    n = jnp.where(keep, cmat + dd[None, :], 0.0)
+    n = jnp.dot(va, dna.T, preferred_element_type=jnp.float32)   # (j, i)
+    n = jnp.where(keep, n, 0.0)
     dk = jnp.dot(n, q, preferred_element_type=jnp.float32)
-    dk += jnp.dot(v, g_acc[...].T, preferred_element_type=jnp.float32)
-    dk += gz_acc[0][None, :]
+    dk += jnp.dot(va, g_acc[...].T, preferred_element_type=jnp.float32)
     p = jnp.where(keep, jnp.dot(k, q.T, preferred_element_type=jnp.float32), 0.0)
-    dv = jnp.dot(p, dn, preferred_element_type=jnp.float32)
+    dv = jnp.dot(p, dna, preferred_element_type=jnp.float32)
     dv += jnp.dot(k, g_acc[...], preferred_element_type=jnp.float32)
     dk_ref[0] = dk.astype(dk_ref.dtype)
-    dv_ref[0] = dv.astype(dv_ref.dtype)
-    g_acc[...] += jnp.dot(q.T, dn, preferred_element_type=jnp.float32)
-    gz_acc[0] += jnp.dot(dd, q, preferred_element_type=jnp.float32)
+    dv_ref[0] = dv.astype(dv_ref.dtype)      # last col is dden-junk; cut outside
+    g_acc[...] += jnp.dot(q.T, dna, preferred_element_type=jnp.float32)
 
 
 def _bwd_pallas(q, k, v, out, den, g, eps, chunk):
@@ -291,47 +287,44 @@ def _bwd_pallas(q, k, v, out, den, g, eps, chunk):
     f = v.shape[-1]
     dnum = g / (den + eps)[..., None]
     dden = -jnp.sum(g * out, axis=-1) / (den + eps)
+    dna = jnp.concatenate([dnum, dden[..., None]], axis=-1)      # (B,H,S,F+1)
     (qp, _), (kp, _), (vp, _) = _pad_chunk(q, chunk), _pad_chunk(k, chunk), _pad_chunk(v, chunk)
-    (dnp_, _) = _pad_chunk(dnum, chunk)
+    (dnap, _) = _pad_chunk(dna, chunk)
     s = qp.shape[2]
-    pad = s - s0
-    ddp = jnp.pad(dden, ((0, 0), (0, 0), (0, pad))) if pad else dden
     nc = s // chunk
     r3 = lambda x: x.reshape(b * h, s, x.shape[-1])
-    qp, kp, vp, dnp_ = r3(qp), r3(kp), r3(vp), r3(dnp_)
-    ddp = ddp.reshape(b * h, s)
+    qp, kp, dnap = r3(qp), r3(kp), r3(dnap)
+    vap = _aug_ones(r3(vp))
 
     blk = lambda d: pl.BlockSpec((1, chunk, d), lambda i, j: (i, j, 0))
     rblk = lambda d: pl.BlockSpec((1, chunk, d), lambda i, j: (i, nc - 1 - j, 0))
-    sblk = pl.BlockSpec((1, chunk), lambda i, j: (i, j))
-    rsblk = pl.BlockSpec((1, chunk), lambda i, j: (i, nc - 1 - j))
     params = pltpu.CompilerParams(dimension_semantics=("arbitrary", "arbitrary"))
 
     dq = pl.pallas_call(
         _bwd_dq_kernel,
         grid=(b * h, nc),
-        in_specs=[blk(e), blk(e), blk(f), blk(f), sblk],
+        in_specs=[blk(e), blk(f + 1), blk(f + 1)],
         out_specs=blk(e),
         out_shape=jax.ShapeDtypeStruct((b * h, s, e), q.dtype),
-        scratch_shapes=[pltpu.VMEM((e, f), jnp.float32), pltpu.VMEM((1, e), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((e, f + 1), jnp.float32)],
         compiler_params=params,
-    )(qp, kp, vp, dnp_, ddp)
+    )(kp, vap, dnap)
 
     dk, dv = pl.pallas_call(
         _bwd_dkv_kernel,
         grid=(b * h, nc),
-        in_specs=[rblk(e), rblk(e), rblk(f), rblk(f), rsblk],
-        out_specs=[rblk(e), rblk(f)],
+        in_specs=[rblk(e), rblk(e), rblk(f + 1), rblk(f + 1)],
+        out_specs=[rblk(e), rblk(f + 1)],
         out_shape=[
             jax.ShapeDtypeStruct((b * h, s, e), q.dtype),
-            jax.ShapeDtypeStruct((b * h, s, f), v.dtype),
+            jax.ShapeDtypeStruct((b * h, s, f + 1), v.dtype),
         ],
-        scratch_shapes=[pltpu.VMEM((e, f), jnp.float32), pltpu.VMEM((1, e), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((e, f + 1), jnp.float32)],
         compiler_params=params,
-    )(qp, kp, vp, dnp_, ddp)
+    )(qp, kp, vap, dnap)
 
     cut = lambda x, d: x.reshape(b, h, s, d)[:, :, :s0]
-    return cut(dq, e), cut(dk, e), cut(dv, f)
+    return cut(dq, e), cut(dk, e), cut(dv, f + 1)[..., :f]
 
 
 # ---------------------------------------------------------------------------

@@ -33,9 +33,9 @@ _RULES = [
     (r"\['layers'\]\['ffn1'\]\['w'\]", lambda nd: P(None, None, "tp")),
     (r"\['layers'\]\['ffn1'\]\['b'\]", lambda nd: P(None, "tp")),
     (r"\['layers'\]\['ffn2'\]\['w'\]", lambda nd: P(None, "tp", None)),
-    # output heads: column parallel over vocab
-    (r"\['heads'\]\[.*\]\['w'\]", lambda nd: P(None, "tp")),
-    (r"\['heads'\]\[.*\]\['b'\]", lambda nd: P("tp")),
+    # output heads: row parallel over d_model (vocab sizes like 135/87 are
+    # not divisible by tp; GSPMD inserts the psum over 'tp')
+    (r"\['heads'\]\[.*\]\['w'\]", lambda nd: P("tp", None)),
 ]
 
 

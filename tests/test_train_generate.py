@@ -77,7 +77,7 @@ def test_sharded_train_step_8dev():
     params = lt.init_params(jax.random.PRNGKey(0), TINY)
     specs = param_specs(params)
     # heads sharded over tp, norms replicated
-    assert specs["heads"]["tempo"]["w"] == jax.sharding.PartitionSpec(None, "tp")
+    assert specs["heads"]["tempo"]["w"] == jax.sharding.PartitionSpec("tp", None)
     assert specs["final_ln"]["scale"] == jax.sharding.PartitionSpec()
     sharded = shard_params(mesh, params)
 

@@ -1,0 +1,88 @@
+"""Saver format, checkpoint save/load/resume, loss buckets, plots, stats."""
+
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from reinforcement_learning_in_music_generation_tpu.utils import (
+    MetricsBus, RuntimeStats, Saver, bi_loss_plot, load_checkpoint,
+    load_params_lenient, loss_bucket_filename, save_checkpoint,
+    score_plotting, tri_loss_plot)
+
+
+def test_saver_log_format(tmp_path):
+    s = Saver(str(tmp_path))
+    s.add_summary_msg(" > params amount: 1,234")
+    s.global_step_increment()
+    s.add_summary("batch loss", 0.5)
+    s.add_summary("note", "hello", step=7)
+    log = (tmp_path / "log.txt").read_text().splitlines()
+    assert log[0] == " > params amount: 1,234"
+    assert log[1].startswith("batch loss | 0.5000000000 |          1 | ")
+    assert "hello" in log[2] and "         7" in log[2]
+
+
+def test_loss_bucket_names():
+    # agent_pretrain.py:594-632 bands
+    assert loss_bucket_filename(0.73) == "trainloss_70"
+    assert loss_bucket_filename(0.41) == "trainloss_40"
+    assert loss_bucket_filename(0.39) == "trainloss_39"
+    assert loss_bucket_filename(0.13) == "trainloss_13"
+    assert loss_bucket_filename(0.05) is None
+    assert loss_bucket_filename(1.2) == "trainloss_120_high"
+
+
+def test_checkpoint_roundtrip_and_resume(tmp_path):
+    params = {"a": jnp.arange(4.0), "b": {"c": jnp.ones((2, 2))}}
+    opt_state = {"m": jnp.zeros((4,))}
+    path = str(tmp_path / "ck.ckpt")
+    save_checkpoint(path, params, opt_state, step=17, extra={"epoch": 3})
+    out = load_checkpoint(path)
+    assert out["step"] == 17 and out["extra"]["epoch"] == 3
+    np.testing.assert_array_equal(out["params"]["a"], np.arange(4.0))
+    np.testing.assert_array_equal(out["opt_state"]["m"], np.zeros(4))
+
+
+def test_lenient_load_strict_false(tmp_path):
+    src = {"emb": {"x": jnp.ones((3, 3))}, "extra": jnp.zeros((2,))}
+    path = str(tmp_path / "src.ckpt")
+    save_checkpoint(path, src)
+    tmpl = {"emb": {"x": jnp.zeros((3, 3))}, "new_head": jnp.full((4,), 7.0)}
+    merged = load_params_lenient(path, tmpl)
+    np.testing.assert_array_equal(np.asarray(merged["emb"]["x"]), np.ones((3, 3)))
+    np.testing.assert_array_equal(np.asarray(merged["new_head"]), np.full(4, 7.0))
+
+
+def test_metrics_bus_history(tmp_path):
+    s = Saver(str(tmp_path))
+    bus = MetricsBus(s)
+    bus.log({"loss": 1.0})
+    bus.log({"loss": 0.5})
+    assert bus.history["loss"] == [1.0, 0.5]
+    assert "loss" in (tmp_path / "log.txt").read_text()
+
+
+def test_plots_write_files(tmp_path):
+    bi_loss_plot([1, 2], [2, 1], [3, 3], ["a", "b", "c"],
+                 str(tmp_path / "bi.png"))
+    tri_loss_plot([1], [2], [3], [4], ["a", "b", "c", "d"],
+                  str(tmp_path / "tri.png"))
+    score_plotting([0.1, 0.2], [0.8, 0.9], str(tmp_path / "score.png"))
+    for f in ("bi.png", "tri.png", "score.png"):
+        assert (tmp_path / f).stat().st_size > 0
+
+
+def test_runtime_stats_contract(tmp_path):
+    st = RuntimeStats()
+    st.add_song(2.0, 100)
+    st.add_song(2.0, 140)
+    out = st.dump(str(tmp_path / "runtime_stats.json"))
+    data = json.loads((tmp_path / "runtime_stats.json").read_text())
+    # reference key names (testing-no-type-cp.py:216-224)
+    assert set(data) == {"song_time", "words_len_list", "ave token time:",
+                         "ave song time"}
+    assert data["ave token time:"] == 60.0
+    assert data["ave song time"] == 2.0
