@@ -122,6 +122,74 @@ def cmd_pretrain(args):
           f"{history[-1] if history else float('nan')}")
 
 
+def cmd_my_pretrain(args):
+    """Shared pretrain for actor or reward model (ppo_policy/my_pretrain.py:
+    34-201): --reward-pretrain switches to the window-transformer reward
+    model trained as a token-CE LM (the reference's broken train_step call
+    on the LongFormer, done working here); timestamped exp dirs."""
+    import datetime
+    jax = _jax()
+    from reinforcement_learning_in_music_generation_tpu import config as C
+    from reinforcement_learning_in_music_generation_tpu.train import (
+        pretrain_lib, longformer_lm_step)
+    from reinforcement_learning_in_music_generation_tpu.data import dataset
+
+    ts = datetime.datetime.now().strftime("%Y%m%d_%H%M%S")
+    exp_root = os.path.join("./Exp-Pretrain", ts)
+    ckpt_dir = os.path.join(exp_root, "model")
+    log_dir = os.path.join(exp_root, "log")
+    os.makedirs(ckpt_dir, exist_ok=True)
+    os.makedirs(log_dir, exist_ok=True)
+
+    vocab = (49, 19, 19, 89, 67, 25)
+    if args.train_data and os.path.exists(args.train_data):
+        import pickle
+        with open(args.train_data, "rb") as f:
+            packed = pickle.load(f)
+        x, y, mask = packed["train_x"], packed["train_y"], packed["mask"]
+    else:
+        x, y, mask = dataset.synthetic_cp_dataset(
+            args.synthetic_songs, args.seq_len, n_class=vocab)
+    pcfg = C.PretrainConfig(n_epoch=args.epochs, batch_size=args.batch_size,
+                            lr=args.lr, ckpt_dir=ckpt_dir, exp_dir=log_dir,
+                            seed=args.seed)
+    if args.reward_pretrain:
+        from reinforcement_learning_in_music_generation_tpu.models import longformer as lf
+        mcfg = C.ppo_reward_config(vocab)
+        params = lf.init_params(jax.random.PRNGKey(args.seed), mcfg)
+        pretrain_lib.pretrain(params, mcfg, x, y, mask, pcfg,
+                              step_fn=longformer_lm_step,
+                              max_steps=args.max_steps)
+    else:
+        from reinforcement_learning_in_music_generation_tpu.models import (
+            linear_transformer as lt)
+        mcfg = C.actor_config(vocab, n_layer=args.layers)
+        params = lt.init_params(jax.random.PRNGKey(args.seed), mcfg)
+        pretrain_lib.pretrain(params, mcfg, x, y, mask, pcfg,
+                              max_steps=args.max_steps)
+    print(f"experiment dir: {exp_root}")
+
+
+def cmd_data_midi(args):
+    """Decode one packed-dataset row back to MIDI — the reference's eyeball
+    sanity check (ppo_policy/data_midi.py:39-56)."""
+    import pickle
+    from reinforcement_learning_in_music_generation_tpu.data import tokenizer
+
+    with open(args.dictionary, "rb") as f:
+        e2w, w2e = pickle.load(f)
+    with open(args.dataset, "rb") as f:
+        packed = pickle.load(f)
+    row = packed["train_x"][args.row]
+    mask = packed.get("mask")
+    if mask is not None:
+        row = row[mask[args.row] > 0]
+    events = tokenizer.words_to_tuple_events(row, w2e)
+    os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
+    tokenizer.tuple_events_to_midi(events, args.out)
+    print(f"row {args.row} ({len(events)} events) -> {args.out}")
+
+
 def cmd_discrim_pretrain(args):
     """Longformer LM pretrain (dqn_policy/discrim-pretrain.py:342-490)."""
     jax = _jax()
@@ -397,6 +465,18 @@ def main(argv=None):
     train_common(d)
     d.add_argument("--with-type", action="store_true")
     d.set_defaults(fn=cmd_discrim_pretrain)
+
+    d = sub.add_parser("my-pretrain", help="actor/reward pretrain (ppo side)")
+    train_common(d)
+    d.add_argument("--reward-pretrain", action="store_true")
+    d.set_defaults(fn=cmd_my_pretrain)
+
+    d = sub.add_parser("data-midi", help="decode a dataset row to MIDI")
+    d.add_argument("--dataset", default="./dataset/our_dataset.pickle")
+    d.add_argument("--dictionary", default="./dataset/dictionary.pickle")
+    d.add_argument("--row", type=int, default=10)
+    d.add_argument("--out", default="./gen_midi/111.mid")
+    d.set_defaults(fn=cmd_data_midi)
 
     d = sub.add_parser("dqn-train", help="DQN + AIRL fine-tune")
     train_common(d)

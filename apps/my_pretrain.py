@@ -1,6 +1,6 @@
-"""Thin shim mapping the reference entry point `my_pretrain` to `cli.py pretrain`."""
+"""Thin shim mapping the reference entry point `my_pretrain` to `cli.py my-pretrain`."""
 import sys
 from cli import main
 
 if __name__ == "__main__":
-    main(["pretrain"] + sys.argv[1:])
+    main(["my-pretrain"] + sys.argv[1:])

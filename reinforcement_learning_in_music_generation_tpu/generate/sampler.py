@@ -55,12 +55,12 @@ def generate_tokens(params, cfg: LinearTransformerConfig, rng: jax.Array,
     """init_tokens (B, T0, n_fields) seeds the state (teacher-forced), then
     `max_tokens` sampled steps.  Returns seed+generated tokens."""
     b, t0, nf = init_tokens.shape
-    pe = None  # decode_step builds its own table; share one instead:
     from ..models import common as cm
-    pe = cm.sinusoidal_table(cfg.max_len, cfg.d_model)
+    dtype = params["in_linear"]["w"].dtype  # share one table across steps
+    pe = cm.sinusoidal_table(cfg.max_len, cfg.d_model, dtype)
 
     state = lt.init_decode_state(cfg, b)
-    h = jnp.zeros((b, cfg.d_model))
+    h = jnp.zeros((b, cfg.d_model), dtype)
     # seed: feed init tokens
     def seed_body(carry, tok):
         h, state = carry

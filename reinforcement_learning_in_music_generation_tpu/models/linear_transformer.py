@@ -204,15 +204,17 @@ def decode_step(params: dict, cfg: LinearTransformerConfig, token: jax.Array,
     h = cm.linear(params["in_linear"], embs)                 # (B, D)
     if pe_table is None:
         pe_table = cm.sinusoidal_table(cfg.max_len, cfg.d_model, h.dtype)
-    h = h + pe_table[state.step]
+    h = h + pe_table[state.step].astype(h.dtype)
 
     def body(h, inp):
         lp, s_l, z_l = inp
-        q = (cm.linear(lp["wq"], h)).reshape(b, cfg.n_head, cfg.d_head)
-        k = (cm.linear(lp["wk"], h)).reshape(b, cfg.n_head, cfg.d_head)
-        v = (cm.linear(lp["wv"], h)).reshape(b, cfg.n_head, cfg.d_head)
+        # qkv may be bf16 (weight-bandwidth bound decode); the recurrent
+        # (S, z) accumulation state stays f32 for long-sequence stability.
+        q = (cm.linear(lp["wq"], h)).reshape(b, cfg.n_head, cfg.d_head).astype(s_l.dtype)
+        k = (cm.linear(lp["wk"], h)).reshape(b, cfg.n_head, cfg.d_head).astype(s_l.dtype)
+        v = (cm.linear(lp["wv"], h)).reshape(b, cfg.n_head, cfg.d_head).astype(s_l.dtype)
         att, (s_l, z_l) = linear_attention_step(q, k, v, (s_l, z_l), eps=cfg.attn_eps)
-        att = cm.linear(lp["wo"], att.reshape(b, cfg.d_model))
+        att = cm.linear(lp["wo"], att.astype(h.dtype).reshape(b, cfg.d_model))
         h = cm.layernorm(lp["ln1"], h + att)
         y = jax.nn.gelu(cm.linear(lp["ffn1"], h), approximate=False)
         y = cm.linear(lp["ffn2"], y)

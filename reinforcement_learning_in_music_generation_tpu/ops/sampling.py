@@ -70,16 +70,30 @@ def nucleus_mask(probs: jax.Array, p: float) -> jax.Array:
 
 def sample(rng: jax.Array, logits: jax.Array, *, temperature: float = 1.0,
            top_p: Optional[float] = None, greedy: bool = False) -> jax.Array:
-    """Sample token ids from logits (..., V) -> (...)."""
+    """Sample token ids from logits (..., V) -> (...).
+
+    The nucleus path uses a single descending sort + inverse-CDF draw in
+    sorted space (then a gather through the sort order) — same distribution
+    as the reference's sort/cumsum/np.random.choice, with no scatter and no
+    full-vocab Gumbel pass.
+    """
     if greedy:
         return jnp.argmax(logits, axis=-1)
+    logits = logits.astype(jnp.float32)
+    if top_p is None:
+        # plain weighted sampling from the temperature softmax (model.py:23-28)
+        return jax.random.categorical(rng, logits / temperature, axis=-1)
     probs = softmax_with_temperature(logits, temperature)
-    if top_p is not None:
-        keep = nucleus_mask(probs, top_p)
-        probs = jnp.where(keep, probs, 0.0)
-    logp = jnp.log(jnp.maximum(probs, 1e-30))
-    logp = jnp.where(probs > 0, logp, -jnp.inf)
-    return jax.random.categorical(rng, logp, axis=-1)
+    order = jnp.argsort(-probs, axis=-1)
+    sp = jnp.take_along_axis(probs, order, axis=-1)
+    sp = sp / (jnp.sum(sp, axis=-1, keepdims=True) + 1e-5)
+    csum = jnp.cumsum(sp, axis=-1)
+    keep = (csum - sp) <= top_p          # incl. first prob crossing the line
+    s_kept = jnp.sum(sp * keep, axis=-1, keepdims=True)
+    u = jax.random.uniform(rng, probs.shape[:-1] + (1,)) * s_kept
+    idx = jnp.sum((csum <= u).astype(jnp.int32), axis=-1)
+    idx = jnp.minimum(idx, jnp.sum(keep, axis=-1) - 1)
+    return jnp.take_along_axis(order, idx[..., None], axis=-1)[..., 0]
 
 
 def sample_fields(rng: jax.Array, logits_per_field: Sequence[jax.Array],
