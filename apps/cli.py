@@ -117,7 +117,8 @@ def cmd_pretrain(args):
                             exp_dir=args.exp_dir, seed=args.seed)
     t0 = time.time()
     params, _, history = pretrain_lib.pretrain(
-        params, mcfg, x, y, mask, pcfg, mesh=mesh, max_steps=args.max_steps)
+        params, mcfg, x, y, mask, pcfg, mesh=mesh, max_steps=args.max_steps,
+        resume_from=args.resume)
     print(f"done in {time.time()-t0:.1f}s; last epoch loss: "
           f"{history[-1] if history else float('nan')}")
 
@@ -456,6 +457,8 @@ def main(argv=None):
     d = sub.add_parser("pretrain", help="agent CE pretrain")
     train_common(d)
     d.add_argument("--vocab", default=None)
+    d.add_argument("--resume", default=None,
+                   help="checkpoint to resume from (params+opt state+epoch)")
     d.add_argument("--dtype", default="float32")
     d.add_argument("--dp", type=int, default=1)
     d.add_argument("--tp", type=int, default=1)

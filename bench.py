@@ -76,7 +76,8 @@ def bench_pretrain():
     from reinforcement_learning_in_music_generation_tpu.train import (
         agent_train_step, optim)
 
-    cfg = C.agent_config()
+    cfg = C.agent_config(
+        dtype=os.environ.get("RLMG_BENCH_TRAIN_DTYPE", "bfloat16"))
     params = lt.init_params(jax.random.PRNGKey(0), cfg)
     tx = optim.adam(1e-4, grad_clip=3.0)
     opt_state = tx.init(params)

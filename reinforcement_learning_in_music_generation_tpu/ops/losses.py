@@ -19,6 +19,7 @@ def masked_cross_entropy(logits: jax.Array, targets: jax.Array,
 
     sum(ce * mask) / sum(mask)  (dqn_policy/model.py:163-167).
     """
+    logits = logits.astype(jnp.float32)   # CE always reduces in f32
     logz = jax.nn.logsumexp(logits, axis=-1)
     gold = jnp.take_along_axis(logits, targets[..., None], axis=-1)[..., 0]
     ce = logz - gold

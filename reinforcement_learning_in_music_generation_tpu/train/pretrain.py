@@ -29,11 +29,18 @@ from . import optim
 # jitted steps
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.jit, static_argnames=("cfg", "tx"), donate_argnums=(0, 1))
+@functools.partial(jax.jit, static_argnames=("cfg", "tx"))
 def agent_train_step(params, opt_state, cfg: LinearTransformerConfig, tx,
                      x, y, mask, rng):
-    """One CE pretrain step -> (params', opt_state', (loss, per-field))."""
+    """One CE pretrain step -> (params', opt_state', (loss, per-field)).
+
+    With cfg.dtype == 'bfloat16' this is mixed precision: f32 master weights
+    in the optimizer, bf16 compute (the CE reduces in f32; the Pallas
+    attention kernels accumulate in f32 regardless)."""
     def loss_fn(p):
+        if cfg.dtype != "float32":
+            p = jax.tree_util.tree_map(
+                lambda a: a.astype(cfg.dtype), p)
         losses = lt.train_losses(p, cfg, x, y, mask, deterministic=False, rng=rng)
         return jnp.mean(losses), losses
 
@@ -44,7 +51,7 @@ def agent_train_step(params, opt_state, cfg: LinearTransformerConfig, tx,
     return params, opt_state, (loss, losses)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "tx"), donate_argnums=(0, 1))
+@functools.partial(jax.jit, static_argnames=("cfg", "tx"))
 def longformer_lm_step(params, opt_state, cfg: WindowTransformerConfig, tx,
                        x, y, mask, rng):
     """Discriminator LM pretrain step (dqn_policy/discrim-pretrain.py:342-
@@ -72,14 +79,26 @@ def pretrain(params, cfg, train_x, train_y, train_mask,
              step_fn: Callable = agent_train_step,
              mesh=None, metrics: Optional[MetricsBus] = None,
              max_steps: Optional[int] = None,
-             on_epoch_end: Optional[Callable] = None):
+             on_epoch_end: Optional[Callable] = None,
+             resume_from: Optional[str] = None):
     """Full pretrain loop (agent_pretrain.py:485-632).
 
     Returns (params, opt_state, history).  `max_steps` bounds total batches
-    (for tests/benchmarks); `mesh` shards batches over 'dp'.
-    """
+    (for tests/benchmarks); `mesh` shards batches over 'dp';
+    `resume_from` restores params + optimizer state + epoch from a
+    checkpoint (true resume — the reference saves optimizer state but never
+    restores it, SURVEY §5)."""
     tx = optim.adam(pcfg.lr, grad_clip=pcfg.grad_clip)
     opt_state = tx.init(params)
+    start_epoch = 0
+    if resume_from is not None:
+        from ..utils.checkpoint import load_checkpoint
+        ck = load_checkpoint(resume_from, params_template=params,
+                             opt_state_template=opt_state)
+        params = ck["params"]
+        if ck["opt_state"] is not None:
+            opt_state = ck["opt_state"]
+        start_epoch = int(ck["extra"].get("epoch", -1)) + 1
     saver = Saver(pcfg.exp_dir)
     bus = metrics or MetricsBus(saver)
     saver.add_summary_msg(
@@ -95,7 +114,7 @@ def pretrain(params, cfg, train_x, train_y, train_mask,
     steps_done = 0
     history = []
     start = time.time()
-    for epoch in range(pcfg.n_epoch):
+    for epoch in range(start_epoch, pcfg.n_epoch):
         acc_loss = 0.0
         acc_losses = np.zeros(len(cfg.vocab_sizes))
         for bidx in range(num_batch):
