@@ -1,0 +1,43 @@
+"""Checkpoint resume: training continues from saved params/opt-state/epoch."""
+
+import glob
+import os
+
+import jax
+import numpy as np
+
+from reinforcement_learning_in_music_generation_tpu import config as C
+from reinforcement_learning_in_music_generation_tpu.data import dataset
+from reinforcement_learning_in_music_generation_tpu.models import linear_transformer as lt
+import reinforcement_learning_in_music_generation_tpu.train.pretrain as pt
+
+TINY = C.LinearTransformerConfig(
+    vocab_sizes=(8,) * 6, emb_sizes=(8,) * 6,
+    d_model=16, n_layer=1, n_head=2, d_inner=32)
+
+
+def test_pretrain_resume(tmp_path):
+    x, y, mask = dataset.synthetic_cp_dataset(4, 32, n_class=TINY.vocab_sizes)
+    params = lt.init_params(jax.random.PRNGKey(0), TINY)
+    pcfg = C.PretrainConfig(n_epoch=3, batch_size=2, lr=1e-3,
+                            ckpt_dir=str(tmp_path / "ckpt"),
+                            exp_dir=str(tmp_path / "exp"))
+    p1, o1, hist1 = pt.pretrain(params, TINY, x, y, mask, pcfg)
+    cks = sorted(glob.glob(str(tmp_path / "ckpt" / "*.ckpt")),
+                 key=os.path.getmtime)
+    assert cks, "no checkpoints written"
+
+    # resume from the last checkpoint for 2 more epochs
+    pcfg2 = C.PretrainConfig(n_epoch=5, batch_size=2, lr=1e-3,
+                             ckpt_dir=str(tmp_path / "ckpt2"),
+                             exp_dir=str(tmp_path / "exp2"))
+    params2 = lt.init_params(jax.random.PRNGKey(0), TINY)
+    p2, o2, hist2 = pt.pretrain(params2, TINY, x, y, mask, pcfg2,
+                                resume_from=cks[-1])
+    # resumed run starts at epoch 3 -> only 2 epochs of history
+    assert len(hist2) == 2
+    # resumed params should differ from the fresh init and continue improving
+    l_fresh = jax.tree_util.tree_leaves(params2)[0]
+    l_res = jax.tree_util.tree_leaves(p2)[0]
+    assert not np.allclose(np.asarray(l_fresh), np.asarray(l_res))
+    assert hist2[-1] <= hist1[0]
