@@ -51,6 +51,22 @@ def cmd_prepare_data(args):
             if f.endswith((".mid", ".midi")):
                 midis.append(os.path.join(root, f))
     print(f"number of midis: {len(midis)}")
+
+    if getattr(args, "scheme", "tuple") == "cp":
+        # Compound-word scheme: emits the exact files the DQN pipeline
+        # consumes (train_data_linear.npz + dictionary.pkl,
+        # dqn_policy/agent_pretrain.py:39-41) — the reference has no encoder
+        # for these; this closes that gap.
+        from reinforcement_learning_in_music_generation_tpu.data import cp_tokenizer
+        x, y, mask, dicts = cp_tokenizer.build_cp_training_data(
+            midis, seq_len=args.cp_seq_len, with_type=True)
+        np.savez(os.path.join(args.save_folder, "train_data_linear.npz"),
+                 x=x, y=y, mask=mask)
+        with open(os.path.join(args.save_folder, "dictionary.pkl"), "wb") as f:
+            pickle.dump([dicts[0], dicts[1]], f)
+        print(f"CP dataset: x {x.shape} -> {args.save_folder}")
+        return
+
     songs = []
     for path in midis:
         try:
@@ -430,6 +446,10 @@ def main(argv=None):
     d = sub.add_parser("prepare-data", help="MIDI -> worded data + dictionary")
     d.add_argument("--midi-folder", required=True)
     d.add_argument("--save-folder", default="./dataset")
+    d.add_argument("--scheme", choices=("tuple", "cp"), default="tuple",
+                   help="tuple: ppo pipeline files; cp: DQN-side "
+                        "train_data_linear.npz + dictionary.pkl")
+    d.add_argument("--cp-seq-len", type=int, default=3584)
     d.set_defaults(fn=cmd_prepare_data)
 
     d = sub.add_parser("preprocess", help="worded data -> packed dataset")
