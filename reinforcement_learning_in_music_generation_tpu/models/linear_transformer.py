@@ -174,6 +174,84 @@ def train_losses(params: dict, cfg: LinearTransformerConfig, x: jax.Array,
 # recurrent decode mode
 # ---------------------------------------------------------------------------
 
+def make_decode_params(params: dict, cfg: LinearTransformerConfig,
+                       dtype=None) -> dict:
+    """Decode-optimized parameter layout: qkv projections fused into one
+    (L, D, 3D) matmul, the six output heads fused into one (D, sum V)
+    matmul — fewer, larger MXU ops per decode step."""
+    lp = params["layers"]
+    names = cm.field_names(cfg.n_fields)
+    dp = {
+        "emb": params["emb"],
+        "in_linear": params["in_linear"],
+        "final_ln": params["final_ln"],
+        "qkv_w": jnp.concatenate([lp["wq"]["w"], lp["wk"]["w"], lp["wv"]["w"]],
+                                 axis=-1),
+        "qkv_b": jnp.concatenate([lp["wq"]["b"], lp["wk"]["b"], lp["wv"]["b"]],
+                                 axis=-1),
+        "wo": lp["wo"], "ln1": lp["ln1"], "ln2": lp["ln2"],
+        "ffn1": lp["ffn1"], "ffn2": lp["ffn2"],
+        "head_w": jnp.concatenate([params["heads"][n]["w"] for n in names],
+                                  axis=-1),
+        "head_b": jnp.concatenate([params["heads"][n]["b"] for n in names],
+                                  axis=-1),
+    }
+    if dtype is not None:
+        dp = jax.tree_util.tree_map(
+            lambda a: a.astype(dtype) if a.dtype in (jnp.float32, jnp.bfloat16)
+            else a, dp)
+    return dp
+
+
+def fused_logits(dparams: dict, cfg: LinearTransformerConfig,
+                 h: jax.Array) -> Tuple[jax.Array, ...]:
+    """One matmul for all six heads, split per field."""
+    all_logits = h @ dparams["head_w"] + dparams["head_b"]
+    out = []
+    off = 0
+    for v in cfg.vocab_sizes:
+        out.append(all_logits[..., off:off + v])
+        off += v
+    return tuple(out)
+
+
+def decode_step_fused(dparams: dict, cfg: LinearTransformerConfig,
+                      token: jax.Array, state: "DecodeState", *,
+                      pe_table: Optional[jax.Array] = None
+                      ) -> Tuple[jax.Array, "DecodeState"]:
+    """decode_step on the fused layout, with the layer loop unrolled."""
+    b = token.shape[0]
+    embs = cm.embed_fields(dparams["emb"], token)
+    h = cm.linear(dparams["in_linear"], embs)
+    if pe_table is None:
+        pe_table = cm.sinusoidal_table(cfg.max_len, cfg.d_model, h.dtype)
+    h = h + pe_table[state.step].astype(h.dtype)
+
+    def body(h, inp):
+        qkv_w, qkv_b, wo, ln1, ln2, ffn1, ffn2, s_l, z_l = inp
+        qkv = h @ qkv_w + qkv_b
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        shape = (b, cfg.n_head, cfg.d_head)
+        q = q.reshape(shape).astype(s_l.dtype)
+        k = k.reshape(shape).astype(s_l.dtype)
+        v = v.reshape(shape).astype(s_l.dtype)
+        att, (s_l, z_l) = linear_attention_step(q, k, v, (s_l, z_l),
+                                                eps=cfg.attn_eps)
+        att = cm.linear(wo, att.astype(h.dtype).reshape(b, cfg.d_model))
+        h = cm.layernorm(ln1, h + att)
+        y = jax.nn.gelu(cm.linear(ffn1, h), approximate=False)
+        h = cm.layernorm(ln2, h + cm.linear(ffn2, y))
+        return h, (s_l, z_l)
+
+    h, (new_s, new_z) = jax.lax.scan(
+        body, h,
+        (dparams["qkv_w"], dparams["qkv_b"], dparams["wo"], dparams["ln1"],
+         dparams["ln2"], dparams["ffn1"], dparams["ffn2"], state.s, state.z),
+        unroll=cfg.n_layer)
+    h = cm.layernorm(dparams["final_ln"], h)
+    return h, DecodeState(new_s, new_z, state.step + 1)
+
+
 class DecodeState(NamedTuple):
     s: jax.Array       # (L, B, H, Dh, Dh) running sum phi(k) v^T per layer
     z: jax.Array       # (L, B, H, Dh)

@@ -129,3 +129,22 @@ def test_param_count_flagship():
     n = lt.n_params(params)
     # 12L d512 CP model: ~39M (sanity band)
     assert 20e6 < n < 80e6
+
+
+def test_fused_decode_matches_plain():
+    params = lt.init_params(jax.random.PRNGKey(0), SMALL)
+    x = rand_tokens(jax.random.PRNGKey(3), 2, 7, SMALL.vocab_sizes)
+    dparams = lt.make_decode_params(params, SMALL)
+
+    s1 = lt.init_decode_state(SMALL, 2)
+    s2 = lt.init_decode_state(SMALL, 2)
+    for i in range(7):
+        h1, s1 = lt.decode_step(params, SMALL, x[:, i], s1)
+        h2, s2 = lt.decode_step_fused(dparams, SMALL, x[:, i], s2)
+    np.testing.assert_allclose(np.asarray(h1), np.asarray(h2),
+                               rtol=2e-5, atol=2e-5)
+    lg1 = lt.forward_output(params, SMALL, h1)
+    lg2 = lt.fused_logits(dparams, SMALL, h2)
+    for a, b in zip(lg1, lg2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=2e-5)
