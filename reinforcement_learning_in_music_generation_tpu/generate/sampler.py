@@ -58,14 +58,13 @@ def generate_tokens(params, cfg: LinearTransformerConfig, rng: jax.Array,
     from ..models import common as cm
     dtype = params["in_linear"]["w"].dtype  # share one table across steps
     pe = cm.sinusoidal_table(cfg.max_len, cfg.d_model, dtype)
-    dparams = lt.make_decode_params(params, cfg)
 
     state = lt.init_decode_state(cfg, b)
     h = jnp.zeros((b, cfg.d_model), dtype)
     # seed: feed init tokens
     def seed_body(carry, tok):
         h, state = carry
-        h, state = lt.decode_step_fused(dparams, cfg, tok, state, pe_table=pe)
+        h, state = lt.decode_step(params, cfg, tok, state, pe_table=pe)
         return (h, state), None
     (h, state), _ = jax.lax.scan(seed_body, (h, state),
                                  init_tokens.transpose(1, 0, 2))
@@ -75,7 +74,7 @@ def generate_tokens(params, cfg: LinearTransformerConfig, rng: jax.Array,
 
     def step(carry, rng_t):
         h, state, bars, done = carry
-        logits = lt.fused_logits(dparams, cfg, h)
+        logits = lt.forward_output(params, cfg, h)
         tok = smp.sample_fields(rng_t, logits, settings, greedy=greedy)
         tok = jnp.where(done[:, None], jnp.zeros_like(tok), tok)
         is_bar = (tok[..., barbeat_field] == bar_token_id) & (~done)
@@ -83,7 +82,7 @@ def generate_tokens(params, cfg: LinearTransformerConfig, rng: jax.Array,
         valid_now = ~done
         if bar_cond is not None:
             done = done | (bars >= bar_cond)
-        h, state = lt.decode_step_fused(dparams, cfg, tok, state, pe_table=pe)
+        h, state = lt.decode_step(params, cfg, tok, state, pe_table=pe)
         return (h, state, bars, done), (tok, valid_now)
 
     rngs = jax.random.split(rng, max_tokens)

@@ -219,7 +219,11 @@ def decode_step_fused(dparams: dict, cfg: LinearTransformerConfig,
                       token: jax.Array, state: "DecodeState", *,
                       pe_table: Optional[jax.Array] = None
                       ) -> Tuple[jax.Array, "DecodeState"]:
-    """decode_step on the fused layout, with the layer loop unrolled."""
+    """decode_step on the fused layout, with the layer loop unrolled.
+
+    NOTE: measured ~40% slower than the plain scan path on TPU v5e (the
+    unrolled 12-layer body schedules worse than the rolled loop), so the
+    sampler uses decode_step; kept for future kernel-fusion work."""
     b = token.shape[0]
     embs = cm.embed_fields(dparams["emb"], token)
     h = cm.linear(dparams["in_linear"], embs)
