@@ -39,12 +39,24 @@ def band_mask(seq_len: int, one_sided_window: int, dtype=jnp.float32) -> jax.Arr
 def window_attention(q: jax.Array, k: jax.Array, v: jax.Array,
                      attention_mask: jax.Array | None,
                      *, window: int,
-                     rel_emb: jax.Array | None = None) -> jax.Array:
+                     rel_emb: jax.Array | None = None,
+                     block_threshold: int = 1024) -> jax.Array:
     """q,k,v: (B, H, S, D); attention_mask: (B, S) 1=keep. window = full
     window size (HF `attention_window`); one-sided = window // 2.
 
-    Returns (B, H, S, D).
+    Dispatches to the O(S * window) blocked implementation when the dense
+    (S, S) score matrix would be large (S > block_threshold and the band is
+    narrow), else computes the dense banded form.  Returns (B, H, S, D).
     """
+    s = q.shape[2]
+    if s > block_threshold and s > 2 * window:
+        return window_attention_blocked(q, k, v, attention_mask,
+                                        window=window, rel_emb=rel_emb)
+    return _window_attention_dense(q, k, v, attention_mask,
+                                   window=window, rel_emb=rel_emb)
+
+
+def _window_attention_dense(q, k, v, attention_mask, *, window, rel_emb):
     b, h, s, d = q.shape
     scale = 1.0 / jnp.sqrt(jnp.asarray(d, q.dtype))
     scores = jnp.einsum("bhqd,bhkd->bhqk", q, k) * scale
@@ -62,3 +74,65 @@ def window_attention(q: jax.Array, k: jax.Array, v: jax.Array,
         scores = scores + pad[:, None, None, :]
     probs = jax.nn.softmax(scores, axis=-1)
     return jnp.einsum("bhqk,bhkd->bhqd", probs, v)
+
+
+def window_attention_blocked(q: jax.Array, k: jax.Array, v: jax.Array,
+                             attention_mask: jax.Array | None,
+                             *, window: int,
+                             rel_emb: jax.Array | None = None,
+                             block: int = 256) -> jax.Array:
+    """O(S * (block + window)) memory sliding-window attention.
+
+    Queries are processed in blocks of `block`; each block attends to keys
+    in [block_start - w, block_end + w) gathered from a w-padded copy of
+    k/v.  Identical numerics to the dense banded form (same mask rule).
+    """
+    b, h, s, d = q.shape
+    w = max(1, window // 2)
+    blk = max(block, w)
+    pad_s = (-s) % blk
+    s_pad = s + pad_s
+    nb = s_pad // blk
+    scale = 1.0 / jnp.sqrt(jnp.asarray(d, q.dtype))
+
+    qp = jnp.pad(q, ((0, 0), (0, 0), (0, pad_s), (0, 0)))
+    # keys/values padded by w on the left and (w + pad_s) on the right
+    kp = jnp.pad(k, ((0, 0), (0, 0), (w, w + pad_s), (0, 0)))
+    vp = jnp.pad(v, ((0, 0), (0, 0), (w, w + pad_s), (0, 0)))
+    if attention_mask is None:
+        attention_mask = jnp.ones((b, s), q.dtype)
+    mp = jnp.pad(attention_mask.astype(q.dtype), ((0, 0), (w, w + pad_s)))
+    if pad_s:
+        # padded tail queries are masked out of every softmax row anyway
+        pass
+
+    kw = blk + 2 * w
+    # static band mask within a block: query i (abs qs+i) sees key j
+    # (abs qs - w + j) iff |i - j + w| <= w  <=>  0 <= j - i <= 2w
+    row = jax.lax.broadcasted_iota(jnp.int32, (blk, kw), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (blk, kw), 1)
+    inside = (col >= row) & (col <= row + 2 * w)
+    band = jnp.where(inside, 0.0, NEG_INF).astype(q.dtype)
+    if rel_emb is not None:
+        max_rel = (rel_emb.shape[0] - 1) // 2
+        dist = jnp.clip(row + w - col, -max_rel, max_rel) + max_rel
+        rel_block = rel_emb[dist]                      # (blk, kw, D)
+
+    def one_block(i):
+        qs = i * blk
+        qb = jax.lax.dynamic_slice_in_dim(qp, qs, blk, axis=2)
+        kb = jax.lax.dynamic_slice_in_dim(kp, qs, kw, axis=2)
+        vb = jax.lax.dynamic_slice_in_dim(vp, qs, kw, axis=2)
+        mb = jax.lax.dynamic_slice_in_dim(mp, qs, kw, axis=1)
+        scores = jnp.einsum("bhqd,bhkd->bhqk", qb, kb) * scale
+        if rel_emb is not None:
+            scores += jnp.einsum("bhqd,qkd->bhqk", qb, rel_block) * scale
+        scores = scores + band[None, None]
+        scores = scores + jnp.where(mb > 0, 0.0, NEG_INF).astype(
+            scores.dtype)[:, None, None, :]
+        probs = jax.nn.softmax(scores, axis=-1)
+        return jnp.einsum("bhqk,bhkd->bhqd", probs, vb)
+
+    outs = jax.lax.map(one_block, jnp.arange(nb))      # (nb, B, H, blk, D)
+    out = outs.transpose(1, 2, 0, 3, 4).reshape(b, h, s_pad, d)
+    return out[:, :, :s]
