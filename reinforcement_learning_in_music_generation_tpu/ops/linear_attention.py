@@ -98,7 +98,10 @@ def _fwd_xla(q, k, v, eps, chunk):
         z_c = z_c + jnp.sum(kb, axis=2)
         return (s_c, z_c), (out, den)
 
-    init = (jnp.zeros((b, h, e, f), q.dtype), jnp.zeros((b, h, e), q.dtype))
+    # derive the zero carry from the inputs so shard_map's varying-axis
+    # types match (plain jnp.zeros is 'unvarying' and scan rejects the mix)
+    init = (jnp.einsum("bhje,bhjf->bhef", k[:, :, :1], v[:, :, :1]) * 0.0,
+            jnp.sum(k[:, :, :1], axis=2) * 0.0)
     _, (out, den) = jax.lax.scan(step, init, (qc, kc, vc))
     out = out.transpose(1, 2, 0, 3, 4).reshape(b, h, nc * chunk, f)[:, :, :s0]
     den = den.transpose(1, 2, 0, 3).reshape(b, h, nc * chunk)[:, :, :s0]
@@ -140,7 +143,8 @@ def _bwd_xla(q, k, v, out, den, g, eps, chunk):
         z_c = z_c + jnp.sum(kb, axis=2)
         return (s_c, z_c), dq
 
-    init = (jnp.zeros((b, h, e, f), q.dtype), jnp.zeros((b, h, e), q.dtype))
+    init = (jnp.einsum("bhje,bhjf->bhef", k[:, :, :1], v[:, :, :1]) * 0.0,
+            jnp.sum(k[:, :, :1], axis=2) * 0.0)
     _, dqc = jax.lax.scan(step_fwd, init, (qc, kc, vc, dnc, ddc))
 
     # reverse pass: dk/dv need suffix sums G = sum_{i>=j} q_i (x) dnum_i, gz
@@ -369,6 +373,82 @@ def causal_linear_attention(
     if backend == "pallas" and pltpu is None:
         backend = "xla"
     return _core(feature_map(q), feature_map(k), v, eps, chunk, backend)
+
+
+# ---------------------------------------------------------------------------
+# Sequence-parallel mode (shard_map over a mesh axis)
+# ---------------------------------------------------------------------------
+
+def causal_linear_attention_sp(q: jax.Array, k: jax.Array, v: jax.Array,
+                               axis_name: str, *, eps: float = DEFAULT_EPS,
+                               chunk: int = _DEF_CHUNK,
+                               backend: str | None = None) -> jax.Array:
+    """Sequence-parallel causal linear attention for use inside `shard_map`.
+
+    The sequence axis is sharded over `axis_name`.  Because the linear-
+    attention state is an associative running sum (S, z), cross-shard
+    causality reduces to an exclusive prefix of per-shard state totals:
+
+        out_i = (num_local_i + phi(q_i)^T S_prev) / (den_local_i + phi(q_i).z_prev)
+
+    One all_gather of (S_tot, z_tot) per call ((H, E, F) + (H, E) per shard
+    — tiny vs activations) rides the ICI; everything else is local, so the
+    compute kernel is unchanged.  Differentiable: the correction is plain
+    jnp and the collective transposes under AD.
+
+    The reference has no distributed code at all (SURVEY §2.5); this is the
+    'SP as a stretch feature' the survey sketches for long sequences.
+    """
+    backend = backend or default_backend()
+    if backend == "pallas" and pltpu is None:
+        backend = "xla"
+    pq, pk = feature_map(q), feature_map(k)
+    out_local, den_local = _core_with_den(pq, pk, v, eps, chunk, backend)
+
+    s_tot = jnp.einsum("bhse,bhsf->bhef", pk, v)
+    z_tot = jnp.sum(pk, axis=2)
+    s_all = jax.lax.all_gather(s_tot, axis_name)       # (n_sp, B, H, E, F)
+    z_all = jax.lax.all_gather(z_tot, axis_name)
+    n_sp = s_all.shape[0]
+    idx = jax.lax.axis_index(axis_name)
+    w = (jnp.arange(n_sp) < idx).astype(q.dtype)
+    s_prev = jnp.einsum("n,nbhef->bhef", w, s_all)
+    z_prev = jnp.einsum("n,nbhe->bhe", w, z_all)
+
+    num = out_local * (den_local + eps)[..., None]
+    num = num + jnp.einsum("bhse,bhef->bhsf", pq, s_prev)
+    den = den_local + jnp.einsum("bhse,bhe->bhs", pq, z_prev)
+    return num / (den + eps)[..., None]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _core_with_den(phi_q, phi_k, v, eps, chunk, backend):
+    return (_fwd_pallas if backend == "pallas" else _fwd_xla)(
+        phi_q, phi_k, v, eps, chunk)
+
+
+def _core_with_den_fwd(phi_q, phi_k, v, eps, chunk, backend):
+    out, den = (_fwd_pallas if backend == "pallas" else _fwd_xla)(
+        phi_q, phi_k, v, eps, chunk)
+    return (out, den), (phi_q, phi_k, v, out, den)
+
+
+def _core_with_den_bwd(eps, chunk, backend, res, cotangents):
+    g, g_den = cotangents
+    phi_q, phi_k, v, out, den = res
+    fn = _bwd_pallas if backend == "pallas" else _bwd_xla
+    dq, dk, dv = fn(phi_q, phi_k, v, out, den, g, eps, chunk)
+    # cotangent through den (used by the SP correction):
+    # den_i = phi_q_i . cumsum(phi_k)_i
+    ck = jnp.cumsum(phi_k, axis=2)
+    dq = dq + g_den[..., None] * ck
+    # reverse-cumulative for k: dk_j += sum_{i>=j} g_den_i phi_q_i
+    rev = jnp.cumsum((g_den[..., None] * phi_q)[:, :, ::-1], axis=2)[:, :, ::-1]
+    dk = dk + rev
+    return dq, dk, dv
+
+
+_core_with_den.defvjp(_core_with_den_fwd, _core_with_den_bwd)
 
 
 # ---------------------------------------------------------------------------
