@@ -38,6 +38,16 @@ def linear(p: dict, x: jax.Array) -> jax.Array:
     return x @ p["w"] + p["b"]
 
 
+def linear_scalar(p: dict, x: jax.Array) -> jax.Array:
+    """Linear(d -> 1) as multiply+reduce, returning (..., ).
+
+    Avoids a matmul with output dimension 1: the axon TPU compiler spends
+    ~3 minutes autotuning the gradient of each such matmul (measured), and
+    the critic/reward models have six of them.  Elementwise VPU form
+    compiles instantly and is equally fast at these sizes."""
+    return jnp.sum(x * p["w"][..., 0], axis=-1) + p["b"][0]
+
+
 def init_embedding(rng: jax.Array, vocab: int, dim: int, dtype=jnp.float32) -> jax.Array:
     return jax.random.normal(rng, (vocab, dim), dtype)
 

@@ -37,7 +37,7 @@ def value_produce(params: dict, cfg: LinearTransformerConfig, x: jax.Array,
     logits = lt.forward_output(params, cfg, h)
     names = cm.field_names(cfg.n_fields)
     vals = [
-        jnp.mean(cm.linear(params["value_heads"][n], lg), axis=1)[..., 0]
+        jnp.mean(cm.linear_scalar(params["value_heads"][n], lg), axis=1)
         for n, lg in zip(names, logits)
     ]
     return sum(vals) / len(vals)

@@ -153,7 +153,7 @@ def forward_output(params: dict, cfg: LinearTransformerConfig,
 def value_head(params: dict, h: jax.Array) -> jax.Array:
     """PPO actor value head (ppo_policy/model.py:154-158): D->128->relu->1."""
     y = jax.nn.relu(cm.linear(params["value_head"]["l1"], h))
-    return cm.linear(params["value_head"]["l2"], y)[..., 0]
+    return cm.linear_scalar(params["value_head"]["l2"], y)
 
 
 def train_losses(params: dict, cfg: LinearTransformerConfig, x: jax.Array,

@@ -187,7 +187,7 @@ def score_forward(params: dict, cfg: WindowTransformerConfig, x: jax.Array,
     y, new_state = _batchnorm(sc["bn"], state, y, train)
     y = jnp.tanh(y)
     y = jnp.tanh(cm.linear(sc["l2"], y))
-    y = jax.nn.sigmoid(cm.linear(sc["l3"], y))
+    y = jax.nn.sigmoid(cm.linear_scalar(sc["l3"], y))[..., None]
     return y, new_state
 
 
@@ -225,6 +225,7 @@ def eval_score(params: dict, cfg: WindowTransformerConfig, x: jax.Array,
     names = cm.field_names(cfg.n_fields)
     total = 0.0
     for n, lg in zip(names, logits):
-        hid = jnp.mean(cm.linear(params["eval_heads"][n], lg), axis=1)  # (B,1)
+        hid = jnp.mean(cm.linear_scalar(params["eval_heads"][n], lg),
+                       axis=1)[..., None]                               # (B,1)
         total = total + jax.nn.sigmoid(hid)
     return total / len(names)

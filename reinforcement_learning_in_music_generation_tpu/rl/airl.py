@@ -183,7 +183,7 @@ def gradient_penalty(state: AIRLState, mcfg: WindowTransformerConfig,
             state.bn_state["bn_var"] + 1e-5) * sc["bn"]["scale"] + sc["bn"]["bias"]
         y = jnp.tanh(y)
         y = jnp.tanh(cm.linear(sc["l2"], y))
-        return jax.nn.sigmoid(cm.linear(sc["l3"], y)).sum()
+        return jax.nn.sigmoid(cm.linear_scalar(sc["l3"], y)).sum()
 
     grads = jax.grad(score_of_emb)(inter)
     norms = jnp.sqrt(jnp.sum(grads ** 2, axis=(1, 2)) + 1e-12)

@@ -156,12 +156,12 @@ def calculate_advantages(returns: jax.Array, values: jax.Array,
 
 
 @functools.partial(jax.jit, static_argnames=("state_cfgs", "cfg", "txs"))
-def update_policy(state: PPOState, state_cfgs, cfg: PPOConfig, txs,
-                  agent_all: dict, expert_all: dict,
-                  advantages: jax.Array, returns: jax.Array, rng: jax.Array
-                  ) -> Tuple[PPOState, dict]:
-    """cfg.ppo_steps clipped-surrogate updates + critic MSE
-    (ppo_train.py:365-417), as a scan."""
+def update_policy_step(state: PPOState, state_cfgs, cfg: PPOConfig, txs,
+                       agent_all: dict, expert_all: dict,
+                       advantages: jax.Array, returns: jax.Array
+                       ) -> Tuple[PPOState, dict]:
+    """One clipped-surrogate actor update + one critic MSE update
+    (ppo_train.py:380-412 inner loop body)."""
     acfg, ccfg, rcfg = state_cfgs
     atx, ctx = txs
     old_logp = jax.lax.stop_gradient(agent_all["log_action"])   # (N, n_act, 6)
@@ -169,43 +169,53 @@ def update_policy(state: PPOState, state_cfgs, cfg: PPOConfig, txs,
     returns = jax.lax.stop_gradient(returns)
     states = agent_all["state"]
 
-    def one_step(carry, step_rng):
-        actor_params, critic_params, actor_opt, critic_opt = carry
+    def actor_loss_fn(ap):
+        h = lt.forward_hidden(ap, acfg, states, deterministic=True)
+        logits = lt.forward_output(ap, acfg, h)
+        _, new_logp = _policy_logprobs(logits, cfg.n_actions)
+        ratio = jnp.exp(new_logp - old_logp)                 # (N, n_act, 6)
+        adv = advantages[:, :, None]                         # (N,1,1)
+        surr1 = ratio * adv
+        surr2 = jnp.clip(ratio, 1.0 - cfg.ppo_clip, 1.0 + cfg.ppo_clip) * adv
+        policy_loss = -jnp.mean(jnp.minimum(surr1, surr2))
+        ce_losses = lt.train_losses(
+            ap, acfg, states, expert_all["state"],
+            expert_all["mask_state"], deterministic=True)
+        return policy_loss + jnp.mean(ce_losses), policy_loss
 
-        def actor_loss_fn(ap):
-            h = lt.forward_hidden(ap, acfg, states, deterministic=True)
-            logits = lt.forward_output(ap, acfg, h)
-            _, new_logp = _policy_logprobs(logits, cfg.n_actions)
-            ratio = jnp.exp(new_logp - old_logp)                 # (N, n_act, 6)
-            adv = advantages[:, :, None]                         # (N,1,1)
-            surr1 = ratio * adv
-            surr2 = jnp.clip(ratio, 1.0 - cfg.ppo_clip, 1.0 + cfg.ppo_clip) * adv
-            policy_loss = -jnp.mean(jnp.minimum(surr1, surr2))
-            ce_losses = lt.train_losses(
-                ap, acfg, states, expert_all["state"],
-                expert_all["mask_state"], deterministic=True)
-            return policy_loss + jnp.mean(ce_losses), policy_loss
+    def critic_loss_fn(cp):
+        values = critic_lib.value_produce(cp, ccfg, states)[:, None]
+        return jnp.mean((returns - values) ** 2)
 
-        def critic_loss_fn(cp):
-            values = critic_lib.value_produce(cp, ccfg, states)[:, None]
-            return jnp.mean((returns - values) ** 2)
-
-        (a_loss, p_loss), a_grads = jax.value_and_grad(
-            actor_loss_fn, has_aux=True)(actor_params)
-        v_loss, c_grads = jax.value_and_grad(critic_loss_fn)(critic_params)
-        a_up, actor_opt = atx.update(a_grads, actor_opt, actor_params)
-        actor_params = optax.apply_updates(actor_params, a_up)
-        c_up, critic_opt = ctx.update(c_grads, critic_opt, critic_params)
-        critic_params = optax.apply_updates(critic_params, c_up)
-        return ((actor_params, critic_params, actor_opt, critic_opt),
-                {"actor_loss": a_loss, "policy_loss": p_loss,
-                 "value_loss": v_loss})
-
-    carry = (state.actor_params, state.critic_params,
-             state.actor_opt, state.critic_opt)
-    carry, metrics = jax.lax.scan(
-        one_step, carry, jax.random.split(rng, cfg.ppo_steps))
-    actor_params, critic_params, actor_opt, critic_opt = carry
+    (a_loss, p_loss), a_grads = jax.value_and_grad(
+        actor_loss_fn, has_aux=True)(state.actor_params)
+    v_loss, c_grads = jax.value_and_grad(critic_loss_fn)(state.critic_params)
+    a_up, actor_opt = atx.update(a_grads, state.actor_opt, state.actor_params)
+    actor_params = optax.apply_updates(state.actor_params, a_up)
+    c_up, critic_opt = ctx.update(c_grads, state.critic_opt, state.critic_params)
+    critic_params = optax.apply_updates(state.critic_params, c_up)
     new_state = PPOState(actor_params, critic_params, state.reward_params,
                          actor_opt, critic_opt)
-    return new_state, jax.tree_util.tree_map(jnp.mean, metrics)
+    return new_state, {"actor_loss": a_loss, "policy_loss": p_loss,
+                       "value_loss": v_loss}
+
+
+def update_policy(state: PPOState, state_cfgs, cfg: PPOConfig, txs,
+                  agent_all: dict, expert_all: dict,
+                  advantages: jax.Array, returns: jax.Array, rng: jax.Array
+                  ) -> Tuple[PPOState, dict]:
+    """cfg.ppo_steps updates (ppo_train.py:365-417).
+
+    Host loop over one jitted step rather than a `lax.scan` over grad
+    steps — the scanned form compiles fine on CPU but stalls the axon TPU
+    compiler; per-step dispatch overhead is negligible next to the
+    fwd+bwd work."""
+    metrics_acc = []
+    for _ in range(cfg.ppo_steps):
+        state, metrics = update_policy_step(
+            state, state_cfgs, cfg, txs, agent_all, expert_all,
+            advantages, returns)
+        metrics_acc.append(metrics)
+    mean = {k: jnp.mean(jnp.stack([m[k] for m in metrics_acc]))
+            for k in metrics_acc[0]}
+    return state, mean
