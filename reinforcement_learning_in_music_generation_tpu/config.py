@@ -144,6 +144,7 @@ class PretrainConfig:
     ckpt_dir: str = "./ckpt"
     exp_dir: str = "./exp"
     seed: int = 0
+    log_every: int = 10             # batches between host-side loss fetches
 
 
 @dataclasses.dataclass(frozen=True)

@@ -115,8 +115,10 @@ def pretrain(params, cfg, train_x, train_y, train_mask,
     history = []
     start = time.time()
     for epoch in range(start_epoch, pcfg.n_epoch):
-        acc_loss = 0.0
-        acc_losses = np.zeros(len(cfg.vocab_sizes))
+        # accumulate losses on-device; fetching every batch costs a host
+        # round-trip (~tens of ms on the tunneled TPU) and serializes steps
+        acc_loss = jnp.zeros(())
+        acc_losses = jnp.zeros(len(cfg.vocab_sizes))
         for bidx in range(num_batch):
             saver.global_step_increment()
             lo, hi = bidx * pcfg.batch_size, (bidx + 1) * pcfg.batch_size
@@ -129,14 +131,16 @@ def pretrain(params, cfg, train_x, train_y, train_mask,
             rng, step_rng = jax.random.split(rng)
             params, opt_state, (loss, losses) = step_fn(
                 params, opt_state, cfg, tx, bx, by, bm, step_rng)
-            loss_f = float(loss)
-            acc_loss += loss_f
-            acc_losses += np.asarray(losses)
-            bus.log({"batch loss": loss_f})
+            acc_loss = acc_loss + loss
+            acc_losses = acc_losses + losses
+            if (bidx + 1) % max(1, pcfg.log_every) == 0 or bidx == num_batch - 1:
+                bus.log({"batch loss": float(loss)})
             steps_done += 1
             if max_steps is not None and steps_done >= max_steps:
                 return params, opt_state, history
 
+        acc_loss = float(acc_loss)
+        acc_losses = np.asarray(acc_losses)
         epoch_loss = acc_loss / max(num_batch, 1)
         history.append(epoch_loss)
         runtime = time.time() - start
