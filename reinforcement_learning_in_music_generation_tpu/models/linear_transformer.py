@@ -31,7 +31,6 @@ import jax.numpy as jnp
 from ..config import LinearTransformerConfig
 from ..ops.linear_attention import (
     causal_linear_attention,
-    init_attention_state,
     linear_attention_step,
 )
 from . import common as cm

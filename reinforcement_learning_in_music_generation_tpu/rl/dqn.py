@@ -23,7 +23,6 @@ import optax
 
 from ..config import DQNConfig, LinearTransformerConfig
 from ..models import linear_transformer as lt
-from ..ops.losses import fields_cross_entropy
 from ..train import optim
 
 

@@ -16,8 +16,7 @@ from typing import Dict, Tuple
 import jax
 import jax.numpy as jnp
 
-from ..config import DQNConfig, LinearTransformerConfig
-from ..models import linear_transformer as lt
+from ..config import LinearTransformerConfig
 from . import dqn as dqn_lib
 
 

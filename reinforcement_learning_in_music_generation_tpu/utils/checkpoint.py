@@ -11,11 +11,10 @@ from __future__ import annotations
 
 import os
 import pickle
-from typing import Any, Optional, Tuple
+from typing import Any, Optional
 
 import jax
 import numpy as np
-from flax import serialization
 
 
 def _to_host(tree):
