@@ -391,6 +391,8 @@ def cmd_generate(args):
                             batch_size=args.songs, out_dir=args.out_dir,
                             seed=args.seed)
     stats = RuntimeStats()
+    if args.warmup:
+        sampler.generate_songs(params, mcfg, gcfg)   # compile outside timing
     t0 = time.time()
     songs = sampler.generate_songs(params, mcfg, gcfg)
     elapsed = time.time() - t0
@@ -532,6 +534,8 @@ def main(argv=None):
     d.add_argument("--ckpt", default=None)
     d.add_argument("--out-dir", default="gen_midis")
     d.add_argument("--seed", type=int, default=0)
+    d.add_argument("--warmup", action="store_true",
+                   help="compile+run once before timing (honest tokens/sec)")
     d.set_defaults(fn=cmd_generate)
 
     d = sub.add_parser("inference", help="PPO-style fixed-token generation")
