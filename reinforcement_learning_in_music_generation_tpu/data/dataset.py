@@ -141,25 +141,33 @@ def synthetic_cp_dataset(n_songs: int = 16, seq_len: int = 512,
     """Structured random CP sequences (bar/beat grammar + random notes) with
     next-token targets and padding masks, shaped like the Pop1K7 npz."""
     rng = np.random.default_rng(seed)
+    with_type = len(n_class) == 7   # 7-field variant keeps the 'type' column
     xs = np.zeros((n_songs, seq_len, len(n_class)), np.int64)
     masks = np.zeros((n_songs, seq_len), np.float32)
+
+    def row(tempo=0, chord=0, barbeat=0, typ=0, pitch=0, dur=0, vel=0):
+        if with_type:
+            return [tempo, chord, barbeat, typ, pitch, dur, vel]
+        return [tempo, chord, barbeat, pitch, dur, vel]
+
+    pi, di, vi = (4, 5, 6) if with_type else (3, 4, 5)
     for s in range(n_songs):
         length = int(rng.integers(seq_len // 2, seq_len))
         t = 0
         beat = 0
         while t < length:
             if beat % 8 == 0:
-                xs[s, t] = [0, 0, 1, 0, 0, 0]              # Bar row
+                xs[s, t] = row(barbeat=1, typ=1)              # Bar row
             elif rng.random() < 0.3:
                 n_beats = max(1, n_class[2] - 2)
-                xs[s, t] = [int(rng.integers(0, n_class[0])),
-                            int(rng.integers(0, n_class[1])),
-                            2 + (beat % n_beats), 0, 0, 0]  # Beat row
+                xs[s, t] = row(tempo=int(rng.integers(0, n_class[0])),
+                               chord=int(rng.integers(0, n_class[1])),
+                               barbeat=2 + (beat % n_beats), typ=1)  # Beat
             else:
-                xs[s, t] = [0, 0, 0,
-                            int(rng.integers(1, n_class[3])),
-                            int(rng.integers(1, n_class[4])),
-                            int(rng.integers(1, n_class[5]))]  # Note row
+                xs[s, t] = row(typ=2,
+                               pitch=int(rng.integers(1, n_class[pi])),
+                               dur=int(rng.integers(1, n_class[di])),
+                               vel=int(rng.integers(1, n_class[vi])))  # Note
             t += 1
             beat += 1
         masks[s, :length] = 1.0
