@@ -390,11 +390,22 @@ def cmd_generate(args):
                             max_tokens=args.max_tokens, greedy=args.greedy,
                             batch_size=args.songs, out_dir=args.out_dir,
                             seed=args.seed)
+    init = sampler.CP_SEED
+    if args.prompt:
+        # prompt continuation: encode the prompt MIDI to CP rows and seed the
+        # recurrent state with them (the REMI writer's prompt mode,
+        # ppo_policy/utils.py:308-332, generalized to the CP pipeline)
+        from reinforcement_learning_in_music_generation_tpu.data import cp_tokenizer
+        enc = cp_tokenizer.CPEncoder()
+        rows = enc.encode(args.prompt)
+        rows = np.delete(rows, 3, axis=1)            # drop 'type'
+        init = rows[: args.prompt_tokens] if args.prompt_tokens else rows
+        print(f"prompt: {args.prompt} -> {len(init)} seed tokens")
     stats = RuntimeStats()
     if args.warmup:
-        sampler.generate_songs(params, mcfg, gcfg)   # compile outside timing
+        sampler.generate_songs(params, mcfg, gcfg, init=init)  # compile outside timing
     t0 = time.time()
-    songs = sampler.generate_songs(params, mcfg, gcfg)
+    songs = sampler.generate_songs(params, mcfg, gcfg, init=init)
     elapsed = time.time() - t0
     total_tokens = sum(len(s) for s in songs)
     for i, song in enumerate(songs):
@@ -536,6 +547,9 @@ def main(argv=None):
     d.add_argument("--seed", type=int, default=0)
     d.add_argument("--warmup", action="store_true",
                    help="compile+run once before timing (honest tokens/sec)")
+    d.add_argument("--prompt", default=None,
+                   help="MIDI file to continue from (CP-encoded seed)")
+    d.add_argument("--prompt-tokens", type=int, default=None)
     d.set_defaults(fn=cmd_generate)
 
     d = sub.add_parser("inference", help="PPO-style fixed-token generation")

@@ -105,11 +105,15 @@ def generate_songs(params, cfg: LinearTransformerConfig,
                    gen_cfg: GenerateConfig, *, rng: Optional[jax.Array] = None,
                    init: Sequence[int] = CP_SEED) -> list:
     """Host-side convenience: returns a list of (n_tokens_i, nf) numpy arrays,
-    one per song (valid prefix only)."""
+    one per song (valid prefix only).  `init` is either one seed token row
+    or a (T0, nf) prompt (e.g. an encoded MIDI for continuation)."""
     import numpy as np
     rng = rng if rng is not None else jax.random.PRNGKey(gen_cfg.seed)
     b = gen_cfg.batch_size
-    init_tokens = jnp.tile(jnp.asarray(init, jnp.int32)[None, None, :], (b, 1, 1))
+    init_arr = jnp.asarray(init, jnp.int32)
+    if init_arr.ndim == 1:
+        init_arr = init_arr[None, :]
+    init_tokens = jnp.tile(init_arr[None], (b, 1, 1))
     res = generate_tokens(
         params, cfg, rng, init_tokens,
         max_tokens=gen_cfg.max_tokens,

@@ -93,3 +93,28 @@ def test_build_training_data(tmp_path):
     assert x6.shape == (3, 64, 6)
     for i, n in enumerate((56, 135, 18, 87, 18, 25)):
         assert x6[..., i].max() < n
+
+
+def test_prompt_continuation_generation(tmp_path):
+    """Encode a prompt MIDI, seed generation with it, decode the result."""
+    import jax
+    from reinforcement_learning_in_music_generation_tpu import config as C
+    from reinforcement_learning_in_music_generation_tpu.generate import sampler
+    from reinforcement_learning_in_music_generation_tpu.models import (
+        linear_transformer as lt)
+
+    path = tmp_path / "prompt.mid"
+    make_midi(path, [(0, 480, 60, 80), (960, 1440, 64, 70)])
+    enc = cp_tokenizer.CPEncoder()
+    rows = np.delete(enc.encode(str(path), with_chords=False), 3, axis=1)
+
+    cfg = C.LinearTransformerConfig(
+        vocab_sizes=(56, 135, 18, 87, 18, 25), emb_sizes=(8,) * 6,
+        d_model=16, n_layer=1, n_head=2, d_inner=32)
+    params = lt.init_params(jax.random.PRNGKey(0), cfg)
+    gcfg = C.GenerateConfig(max_tokens=16, bar_production=50, batch_size=1)
+    songs = sampler.generate_songs(params, cfg, gcfg, init=rows)
+    assert len(songs) == 1
+    # output begins with the prompt rows verbatim
+    np.testing.assert_array_equal(songs[0][: len(rows)], rows)
+    assert len(songs[0]) > len(rows)

@@ -175,3 +175,29 @@ def test_synthetic_cp_dataset():
         assert x[..., i].max() < n
     # y is next-token shift of x
     assert (y[:, :-1] == x[:, 1:]).all()
+
+
+def test_remi_writer_roundtrip(tmp_path):
+    """REMI flat-token decode (D11c): build a small REMI word stream from the
+    event vocabulary and check the written MIDI."""
+    # build a flat word list: Bar, Position 1/16, Note Velocity 10, Note On 60,
+    # Note Duration 7, Bar, Position 9/16, Velocity 12, Note On 64, Duration 3
+    vocab = [
+        "Bar_None", "Position_1/16", "Note Velocity_10", "Note On_60",
+        "Note Duration_7", "Position_9/16", "Note Velocity_12", "Note On_64",
+        "Note Duration_3", "Tempo Class_mid", "Tempo Value_30",
+    ]
+    word2event = {i: w for i, w in enumerate(vocab)}
+    words = [0, 1, 9, 10, 1, 2, 3, 4, 0, 5, 6, 7, 8, 0, 0, 0]
+    path = tmp_path / "remi.mid"
+    tokenizer.write_midi_remi(words, word2event, str(path))
+    m = midifile.MidiFile(str(path))
+    notes = sorted(m.instruments[0].notes, key=lambda n: n.start)
+    assert [n.pitch for n in notes] == [60, 64]
+    # first note at bar 0 position 0 (value '1/16' -> index 0)
+    assert notes[0].start == 0
+    assert notes[0].end - notes[0].start == int(events.DEFAULT_DURATION_BINS[7])
+    # second note in bar 1 at position index 8
+    assert notes[1].start == 1920 + 8 * 120
+    # tempo event decoded (mid class + 30 => 120 bpm)
+    assert any(abs(t.tempo - 120) < 0.5 for t in m.tempo_changes)
