@@ -385,6 +385,10 @@ def cmd_generate(args):
         params = load_checkpoint(args.ckpt, params_template=tmpl)["params"]
     else:
         params = lt.init_params(jax.random.PRNGKey(args.seed), mcfg)
+    if args.dtype == "bfloat16":
+        import jax.numpy as jnp
+        params = jax.tree_util.tree_map(
+            lambda a: a.astype(jnp.bfloat16), params)
     os.makedirs(args.out_dir, exist_ok=True)
     gcfg = C.GenerateConfig(n_songs=args.songs, bar_production=args.bars,
                             max_tokens=args.max_tokens, greedy=args.greedy,
@@ -550,6 +554,9 @@ def main(argv=None):
     d.add_argument("--prompt", default=None,
                    help="MIDI file to continue from (CP-encoded seed)")
     d.add_argument("--prompt-tokens", type=int, default=None)
+    d.add_argument("--dtype", default="bfloat16",
+                   choices=("float32", "bfloat16"),
+                   help="decode weight dtype (bf16 halves HBM traffic)")
     d.set_defaults(fn=cmd_generate)
 
     d = sub.add_parser("inference", help="PPO-style fixed-token generation")
