@@ -13,12 +13,15 @@ blocks are plain leading-index slices; no lane-dim reshapes inside the
 kernel).  Numerics match linear_attention_step / decode_step except for
 the tanh-approximate gelu (Mosaic lacks erf).
 
-STATUS: experimental, parity-tested in interpret mode.  On the axon v5e
-the unrolled per-head (B, E, F+1) temporaries overflow scoped VMEM
-(Mosaic stack-allocates ~27MB vs the 16MB budget), and the realistic win
-is bounded (~10-20%: TPU while-loop ops have no launch overhead and
-decode is weight-bandwidth bound), so the sampler keeps the scan path.
-Revisit with a fori_loop-over-heads + scratch-reuse formulation.
+STATUS: experimental, parity-tested in interpret mode (both variants).
+On the axon v5e both formulations overflow Mosaic's scoped-VMEM stack:
+v1 (unrolled heads) ~27MB, v2 (fori_loop + head-major weights) ~23MB vs
+the 16MB budget — the f32 (H,B,E,F+1) state is charged twice (in+out)
+even with input_output_aliases.  The realistic win is bounded anyway
+(~10-20%: TPU while-loop ops have no launch overhead and decode is
+weight-bandwidth bound), so the sampler keeps the scan path.  A round-2
+formulation would split attention (grid over heads, 0.5MB state blocks)
+from the FFN into two lean kernels.
 """
 
 from __future__ import annotations
@@ -121,8 +124,102 @@ def fused_layer_step(h: jax.Array, layer_params: dict, s_aug: jax.Array,
     return h_out, s_out
 
 
+def _layer_kernel_v2(h_ref, qkvw_ref, qkvb_ref, wow_ref, wob_ref,
+                     ln1s_ref, ln1b_ref, ln2s_ref, ln2b_ref,
+                     f1w_ref, f1b_ref, f2w_ref, f2b_ref, s_ref,
+                     h_out_ref, s_out_ref, ao_scratch,
+                     *, n_head: int, d_head: int, eps: float):
+    """fori_loop-over-heads variant with head-major weights:
+    qkvw (H, D, 3E), qkvb (H, 3E), wow (H, E, D).  Temporaries are
+    allocated once and reused across heads, bounding scoped VMEM."""
+    h = h_ref[...].astype(jnp.float32)                      # (B, D)
+    b, d = h.shape
+    ao_scratch[...] = jnp.zeros_like(ao_scratch)
+
+    def head_body(hi, _):
+        w_h = qkvw_ref[hi].astype(jnp.float32)              # (D, 3E)
+        qkv = jnp.dot(h, w_h, preferred_element_type=jnp.float32) + qkvb_ref[hi]
+        q_h = _phi(qkv[:, :d_head])
+        k_h = _phi(qkv[:, d_head:2 * d_head])
+        v_h = qkv[:, 2 * d_head:]
+        va = jnp.concatenate(
+            [v_h, jnp.ones((b, 1), jnp.float32)], axis=-1)
+        s_new = s_ref[hi] + k_h[:, :, None] * va[:, None, :]
+        s_out_ref[hi] = s_new
+        num = jnp.sum(q_h[:, :, None] * s_new, axis=1)
+        att_h = num[:, :d_head] / (num[:, d_head:] + eps)
+        ao_scratch[...] += jnp.dot(
+            att_h, wow_ref[hi].astype(jnp.float32),
+            preferred_element_type=jnp.float32)
+        return 0
+
+    jax.lax.fori_loop(0, n_head, head_body, 0)
+    h = _ln(h + ao_scratch[...] + wob_ref[...], ln1s_ref[...], ln1b_ref[...])
+    y = jnp.dot(h, f1w_ref[...].astype(jnp.float32),
+                preferred_element_type=jnp.float32) + f1b_ref[...]
+    y = jax.nn.gelu(y, approximate=True)
+    y = jnp.dot(y, f2w_ref[...].astype(jnp.float32),
+                preferred_element_type=jnp.float32) + f2b_ref[...]
+    h = _ln(h + y, ln2s_ref[...], ln2b_ref[...])
+    h_out_ref[...] = h.astype(h_out_ref.dtype)
+
+
+def head_major_layer_params(layer_params: dict, n_head: int) -> dict:
+    """Reorganize one layer's weights head-major for the v2 kernel."""
+    lp = layer_params
+    d = lp["wq"]["w"].shape[0]
+    e = d // n_head
+
+    def split_cols(w):   # (D, D) -> (H, D, E)
+        return w.reshape(d, n_head, e).transpose(1, 0, 2)
+
+    qkvw = jnp.concatenate(
+        [split_cols(lp["wq"]["w"]), split_cols(lp["wk"]["w"]),
+         split_cols(lp["wv"]["w"])], axis=-1)               # (H, D, 3E)
+    qkvb = jnp.concatenate(
+        [lp["wq"]["b"].reshape(n_head, e), lp["wk"]["b"].reshape(n_head, e),
+         lp["wv"]["b"].reshape(n_head, e)], axis=-1)        # (H, 3E)
+    wow = lp["wo"]["w"].reshape(n_head, e, d)               # (H, E, D)
+    return {"qkvw": qkvw, "qkvb": qkvb, "wow": wow}
+
+
+def fused_layer_step_v2(h: jax.Array, layer_params: dict, s_aug: jax.Array,
+                        *, n_head: int, eps: float = DEFAULT_EPS,
+                        interpret: bool = False):
+    b, d = h.shape
+    d_head = d // n_head
+    lp = layer_params
+    hm = head_major_layer_params(lp, n_head)
+    vmem = pl.BlockSpec(memory_space=pltpu.VMEM) if pltpu else pl.BlockSpec()
+    kernel = functools.partial(_layer_kernel_v2, n_head=n_head,
+                               d_head=d_head, eps=eps)
+    f32 = jnp.float32
+    args = (h, hm["qkvw"], hm["qkvb"].astype(f32), hm["wow"],
+            lp["wo"]["b"].astype(f32),
+            lp["ln1"]["scale"].astype(f32), lp["ln1"]["bias"].astype(f32),
+            lp["ln2"]["scale"].astype(f32), lp["ln2"]["bias"].astype(f32),
+            lp["ffn1"]["w"], lp["ffn1"]["b"].astype(f32),
+            lp["ffn2"]["w"], lp["ffn2"]["b"].astype(f32), s_aug)
+    scratch = ([pltpu.VMEM((b, d), jnp.float32)] if pltpu
+               else [pltpu and None])
+    h_out, s_out = pl.pallas_call(
+        kernel,
+        in_specs=[vmem] * len(args),
+        out_specs=[vmem, vmem],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, d), h.dtype),
+            jax.ShapeDtypeStruct(s_aug.shape, jnp.float32),
+        ],
+        scratch_shapes=scratch,
+        input_output_aliases={len(args) - 1: 1},
+        interpret=interpret,
+    )(*args)
+    return h_out, s_out
+
+
 def fused_decode_step(params: dict, cfg, token: jax.Array, state,
-                      *, pe_table=None, interpret: bool = False):
+                      *, pe_table=None, interpret: bool = False,
+                      variant: str = "v1"):
     """Drop-in decode_step using the fused layer kernel.
 
     `state` is a models.linear_transformer.DecodeState whose s/z are kept in
@@ -140,11 +237,12 @@ def fused_decode_step(params: dict, cfg, token: jax.Array, state,
     h = h + pe_table[state.step].astype(h.dtype)
 
     s_aug = state.s  # here: (L, H, B, E, E+1) aug layout
+    step_fn = fused_layer_step if variant == "v1" else fused_layer_step_v2
     new_layers = []
     for li in range(cfg.n_layer):
         lp = jax.tree_util.tree_map(lambda a: a[li], params["layers"])
-        h, s_new = fused_layer_step(h, lp, s_aug[li], n_head=cfg.n_head,
-                                    eps=cfg.attn_eps, interpret=interpret)
+        h, s_new = step_fn(h, lp, s_aug[li], n_head=cfg.n_head,
+                           eps=cfg.attn_eps, interpret=interpret)
         new_layers.append(s_new)
     h = cm.layernorm(params["final_ln"], h)
     new_s = jnp.stack(new_layers)

@@ -45,3 +45,17 @@ def test_fused_decode_matches_reference_interpret():
                                rtol=5e-3, atol=5e-3)
     np.testing.assert_allclose(np.asarray(z), np.asarray(ref_state.z),
                                rtol=5e-3, atol=5e-3)
+
+
+def test_fused_v2_matches_reference_interpret():
+    params = lt.init_params(jax.random.PRNGKey(0), CFG)
+    x = rand_tokens(jax.random.PRNGKey(1), 2, 5)
+    ref_state = lt.init_decode_state(CFG, 2)
+    aug_state = lt.DecodeState(dk.aug_state_init(CFG, 2), ref_state.z,
+                               ref_state.step)
+    for i in range(5):
+        h_ref, ref_state = lt.decode_step(params, CFG, x[:, i], ref_state)
+        h_f, aug_state = dk.fused_decode_step(params, CFG, x[:, i], aug_state,
+                                              interpret=True, variant="v2")
+        np.testing.assert_allclose(np.asarray(h_f), np.asarray(h_ref),
+                                   rtol=5e-3, atol=5e-3)
