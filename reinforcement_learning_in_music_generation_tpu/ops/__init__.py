@@ -1,5 +1,6 @@
 from .linear_attention import (
     causal_linear_attention,
+    causal_linear_attention_sp,
     feature_map,
     init_attention_state,
     linear_attention_step,
@@ -10,6 +11,7 @@ from .window_attention import window_attention
 
 __all__ = [
     "causal_linear_attention",
+    "causal_linear_attention_sp",
     "feature_map",
     "init_attention_state",
     "linear_attention_step",

@@ -86,3 +86,15 @@ def test_runtime_stats_contract(tmp_path):
                          "ave song time"}
     assert data["ave token time:"] == 60.0
     assert data["ave song time"] == 2.0
+
+
+def test_profile_trace_writes_trace(tmp_path):
+    from reinforcement_learning_in_music_generation_tpu.utils import profile_trace
+    import jax.numpy as jnp
+    with profile_trace(str(tmp_path / "trace")):
+        jnp.ones((8, 8)).sum().block_until_ready()
+    files = list((tmp_path / "trace").rglob("*"))
+    assert files, "no trace files written"
+    # no-op path
+    with profile_trace(None):
+        pass
