@@ -23,6 +23,14 @@ import jax  # noqa: E402
 # update below is the reliable way to pin tests to the virtual CPU mesh.
 jax.config.update("jax_platforms", "cpu")
 
+# persistent compilation cache: repeat suite runs skip most XLA compiles
+_cache_dir = os.path.join(os.path.dirname(__file__), "..", ".jax_cache")
+try:
+    jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:
+    pass
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

@@ -22,7 +22,7 @@ TINY = C.LinearTransformerConfig(
 def test_pretrain_loss_decreases(tmp_path):
     x, y, mask = dataset.synthetic_cp_dataset(8, 48, n_class=TINY.vocab_sizes)
     params = lt.init_params(jax.random.PRNGKey(0), TINY)
-    pcfg = C.PretrainConfig(n_epoch=10, batch_size=4, lr=3e-3,
+    pcfg = C.PretrainConfig(n_epoch=6, batch_size=4, lr=3e-3,
                             ckpt_dir=str(tmp_path / "ckpt"),
                             exp_dir=str(tmp_path / "exp"))
     params, opt_state, history = pretrain.pretrain(
