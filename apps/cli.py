@@ -276,7 +276,7 @@ def cmd_dqn_train(args):
         expert_buf = buffers.buffer_store_batch(expert_buf, expert_ts)
 
         if int(agent_buf.counter) > cfg.buffer_size:
-            rng, r1, r2, r3 = jax.random.split(rng, 4)
+            rng, r1, r2, r2b, r3 = jax.random.split(rng, 5)
             rstate, agent_r, _, _ = airl.update_disc(
                 rstate, wcfg, acfg, rtx, buffers.buffer_get(agent_buf),
                 buffers.buffer_get(expert_buf), r1,
@@ -284,7 +284,7 @@ def cmd_dqn_train(args):
             agent_buf = agent_buf._replace(
                 data={**agent_buf.data, "reward": agent_r})
             batch = buffers.buffer_sample(agent_buf, r2, cfg.batch_size)
-            ebatch = buffers.buffer_sample(expert_buf, r2, cfg.batch_size)
+            ebatch = buffers.buffer_sample(expert_buf, r2b, cfg.batch_size)
             state, metrics = dqn.update(
                 state, mcfg, cfg, tx, batch,
                 {"state": ebatch["state"], "next_state": ebatch["next_state"],
