@@ -38,20 +38,50 @@ def save_checkpoint(path: str, params: Any, opt_state: Any = None,
     return path
 
 
+def _flat_by_path(tree) -> dict:
+    return {jax.tree_util.keystr(kp): v
+            for kp, v in jax.tree_util.tree_flatten_with_path(tree)[0]}
+
+
+def _restructure(loaded: Any, template: Any, what: str) -> Any:
+    """Key-path-keyed restructuring: every template leaf must exist in the
+    loaded tree under the SAME key path with the same shape.  A renamed or
+    reordered parameter therefore fails loudly instead of silently loading
+    weights into the wrong slot (the old tree_leaves/tree_unflatten pairing
+    matched leaves positionally and could not detect that)."""
+    flat_l = _flat_by_path(loaded)
+
+    def pick(kp, tv):
+        key = jax.tree_util.keystr(kp)
+        if key not in flat_l:
+            raise KeyError(
+                f"{what}: checkpoint has no leaf {key!r} "
+                f"(checkpoint keys: {sorted(flat_l)[:8]}...)")
+        lv = flat_l[key]
+        t_shape = getattr(tv, "shape", None)
+        l_shape = getattr(lv, "shape", None)
+        if t_shape is not None and l_shape != t_shape:
+            raise ValueError(
+                f"{what}: shape mismatch at {key}: checkpoint {l_shape} "
+                f"vs template {t_shape}")
+        return lv
+
+    return jax.tree_util.tree_map_with_path(pick, template)
+
+
 def load_checkpoint(path: str, params_template: Any = None,
                     opt_state_template: Any = None) -> dict:
     """Returns {'params', 'opt_state', 'step', 'extra'}.  When templates are
-    given the loaded trees are restructured onto them (shape-checked)."""
+    given the loaded trees are restructured onto them by key path (name- and
+    shape-checked; mismatches raise)."""
     with open(path, "rb") as f:
         payload = pickle.load(f)
     if params_template is not None and payload["params"] is not None:
-        flat_loaded = jax.tree_util.tree_leaves(payload["params"])
-        treedef = jax.tree_util.tree_structure(params_template)
-        payload["params"] = jax.tree_util.tree_unflatten(treedef, flat_loaded)
+        payload["params"] = _restructure(payload["params"], params_template,
+                                         "params")
     if opt_state_template is not None and payload["opt_state"] is not None:
-        flat_loaded = jax.tree_util.tree_leaves(payload["opt_state"])
-        treedef = jax.tree_util.tree_structure(opt_state_template)
-        payload["opt_state"] = jax.tree_util.tree_unflatten(treedef, flat_loaded)
+        payload["opt_state"] = _restructure(payload["opt_state"],
+                                            opt_state_template, "opt_state")
     return payload
 
 
@@ -61,14 +91,10 @@ def load_params_lenient(path: str, params_template: Any) -> Any:
     with open(path, "rb") as f:
         payload = pickle.load(f)
     loaded = payload["params"] if isinstance(payload, dict) and "params" in payload else payload
-
-    flat_l = dict(jax.tree_util.tree_flatten_with_path(loaded)[0] and
-                  {jax.tree_util.keystr(kp): v for kp, v in
-                   jax.tree_util.tree_flatten_with_path(loaded)[0]})
+    flat_l = _flat_by_path(loaded)
 
     def merge(kp, tv):
-        key = jax.tree_util.keystr(kp)
-        lv = flat_l.get(key)
+        lv = flat_l.get(jax.tree_util.keystr(kp))
         if lv is not None and getattr(lv, "shape", None) == tv.shape:
             return lv
         return tv

@@ -16,6 +16,38 @@ TINY = C.LinearTransformerConfig(
     d_model=16, n_layer=1, n_head=2, d_inner=32)
 
 
+def test_template_load_is_name_aware(tmp_path):
+    """Restructuring onto a template matches by key path: a renamed or
+    missing leaf raises instead of silently loading wrong slots
+    (VERDICT r1, Weak #5)."""
+    import pytest
+    from reinforcement_learning_in_music_generation_tpu.utils import (
+        checkpoint as ck)
+
+    params = lt.init_params(jax.random.PRNGKey(0), TINY)
+    path = str(tmp_path / "a.ckpt")
+    ck.save_checkpoint(path, params, step=1)
+
+    # exact template: arrays land where the key paths say
+    out = ck.load_checkpoint(path, params_template=params)["params"]
+    np.testing.assert_array_equal(
+        np.asarray(out["in_linear"]["w"]),
+        np.asarray(params["in_linear"]["w"]))
+
+    # renamed key in the template -> loud KeyError, not positional reuse
+    renamed = dict(params)
+    renamed["input_proj"] = renamed.pop("in_linear")
+    with pytest.raises(KeyError):
+        ck.load_checkpoint(path, params_template=renamed)
+
+    # same names, wrong shape -> loud ValueError
+    import jax.numpy as jnp
+    reshaped = jax.tree_util.tree_map(lambda a: a, params)
+    reshaped["in_linear"] = {"w": jnp.zeros((3, 3)), "b": jnp.zeros((3,))}
+    with pytest.raises(ValueError):
+        ck.load_checkpoint(path, params_template=reshaped)
+
+
 def test_pretrain_resume(tmp_path):
     x, y, mask = dataset.synthetic_cp_dataset(4, 32, n_class=TINY.vocab_sizes)
     params = lt.init_params(jax.random.PRNGKey(0), TINY)
