@@ -98,10 +98,12 @@ class MidiFile:
         tick = 0
         status = 0
         active: dict = {}          # (channel, pitch) -> list of (start, vel)
-        notes: List[Note] = []
+        notes: dict = {}           # channel -> List[Note] (format-0 files
+        #                            carry several channels in one MTrk;
+        #                            miditoolkit splits instruments per
+        #                            channel — so do we)
         programs: dict = {}
         name = ""
-        is_drum = False
 
         def read_varint():
             nonlocal pos
@@ -118,7 +120,8 @@ class MidiFile:
             if stack:
                 start, vel = stack.pop(0)
                 if end_tick > start:
-                    notes.append(Note(vel, pitch, start, end_tick))
+                    notes.setdefault(ch, []).append(
+                        Note(vel, pitch, start, end_tick))
 
         while pos < len(buf):
             tick += read_varint()
@@ -152,8 +155,6 @@ class MidiFile:
                 pos += 2
                 if vel > 0:
                     active.setdefault((ch, pitch), []).append((tick, vel))
-                    if ch == 9:
-                        is_drum = True
                 else:
                     close_note(ch, pitch, tick)
             elif ev == 0x80:
@@ -174,11 +175,12 @@ class MidiFile:
         for (ch, pitch), stack in active.items():
             for start, vel in stack:
                 if tick > start:
-                    notes.append(Note(vel, pitch, start, tick))
-        if notes:
-            notes.sort(key=lambda n: (n.start, n.pitch))
-            program = next(iter(programs.values()), 0)
-            self.instruments.append(Instrument(program, is_drum, name, notes))
+                    notes.setdefault(ch, []).append(Note(vel, pitch, start, tick))
+        for ch in sorted(notes):
+            ch_notes = notes[ch]
+            ch_notes.sort(key=lambda n: (n.start, n.pitch))
+            self.instruments.append(
+                Instrument(programs.get(ch, 0), ch == 9, name, ch_notes))
 
     # -- writing -----------------------------------------------------------
 
