@@ -167,9 +167,12 @@ def cmd_my_pretrain(args):
     else:
         x, y, mask = dataset.synthetic_cp_dataset(
             args.synthetic_songs, args.seq_len, n_class=vocab)
+    milestones = tuple(int(m) for m in args.lr_milestones.split(",")
+                       if m.strip()) if args.lr_milestones else ()
     pcfg = C.PretrainConfig(n_epoch=args.epochs, batch_size=args.batch_size,
                             lr=args.lr, ckpt_dir=ckpt_dir, exp_dir=log_dir,
-                            seed=args.seed)
+                            seed=args.seed, lr_milestones=milestones,
+                            lr_gamma=args.lr_gamma)
     if args.reward_pretrain:
         from reinforcement_learning_in_music_generation_tpu.models import longformer as lf
         mcfg = C.ppo_reward_config(vocab)
@@ -326,7 +329,8 @@ def cmd_ppo_train(args):
     rcfg = C.ppo_reward_config(vocab, n_layer=max(1, args.layers - 2))
     cfg = C.PPOConfig(num_songs=args.songs, episodes=args.episodes,
                       n_states=args.n_states, n_actions=args.n_actions,
-                      ppo_steps=args.ppo_steps)
+                      ppo_steps=args.ppo_steps,
+                      compat_forward_returns=args.compat_forward_returns)
     x, y, mask = _load_pretrain_data(args, vocab)
     x, y, mask = jnp.asarray(x), jnp.asarray(y), jnp.asarray(mask)
 
@@ -456,7 +460,7 @@ def cmd_inference(args):
     print(f"{len(toks)} tokens -> {args.out}")
 
 
-def main(argv=None):
+def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="rlmg", description=__doc__)
     sub = p.add_subparsers(dest="cmd", required=True)
 
@@ -507,6 +511,10 @@ def main(argv=None):
     d.set_defaults(fn=cmd_discrim_pretrain)
 
     d = sub.add_parser("my-pretrain", help="actor/reward pretrain (ppo side)")
+    d.add_argument("--lr-milestones", default="500",
+                   help="MultiStepLR epochs, comma-separated "
+                        "(my_pretrain.py:63-66); empty disables")
+    d.add_argument("--lr-gamma", type=float, default=0.1)
     train_common(d)
     d.add_argument("--reward-pretrain", action="store_true")
     d.set_defaults(fn=cmd_my_pretrain)
@@ -538,6 +546,9 @@ def main(argv=None):
     d.add_argument("--n-actions", type=int, default=25)
     d.add_argument("--ppo-steps", type=int, default=10)
     d.add_argument("--pretrain-actor", default=None)
+    d.add_argument("--compat-forward-returns", action="store_true",
+                   help="reproduce the reference's forward-order reward "
+                        "discounting (ppo_train.py:348-357, SURVEY §2.6#6)")
     d.set_defaults(fn=cmd_ppo_train)
 
     d = sub.add_parser("generate", help="unconditional generation (CP)")
@@ -566,8 +577,11 @@ def main(argv=None):
     d.add_argument("--out", default="gen_midi/pretrain_actor.mid")
     d.add_argument("--seed", type=int, default=0)
     d.set_defaults(fn=cmd_inference)
+    return p
 
-    args = p.parse_args(argv)
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
     args.fn(args)
 
 

@@ -147,6 +147,10 @@ class PretrainConfig:
     log_every: int = 10             # batches between host-side loss fetches
     prng_impl: str = "rbg"          # dropout PRNG; rbg is ~11% faster than
                                     # threefry on TPU at these shapes
+    # MultiStepLR in *epochs* (torch scheduler.step() per epoch) —
+    # ppo_policy/my_pretrain.py:63-66 uses milestones=[500], gamma=0.1
+    lr_milestones: Tuple[int, ...] = ()
+    lr_gamma: float = 0.1
 
 
 @dataclasses.dataclass(frozen=True)

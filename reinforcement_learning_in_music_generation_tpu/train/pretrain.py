@@ -88,7 +88,16 @@ def pretrain(params, cfg, train_x, train_y, train_mask,
     `resume_from` restores params + optimizer state + epoch from a
     checkpoint (true resume — the reference saves optimizer state but never
     restores it, SURVEY §5)."""
-    tx = optim.adam(pcfg.lr, grad_clip=pcfg.grad_clip)
+    num_batch_sched = max(1, len(train_x) // pcfg.batch_size)
+    if pcfg.lr_milestones:
+        # reference milestones are epochs (torch scheduler.step() per
+        # epoch, my_pretrain.py:63-66); optax counts optimizer steps
+        lr = optim.multistep_lr(
+            pcfg.lr, tuple(int(m) * num_batch_sched
+                           for m in pcfg.lr_milestones), pcfg.lr_gamma)
+    else:
+        lr = pcfg.lr
+    tx = optim.adam(lr, grad_clip=pcfg.grad_clip)
     opt_state = tx.init(params)
     start_epoch = 0
     if resume_from is not None:

@@ -103,3 +103,37 @@ def test_multistep_lr_schedule():
     assert np.isclose(float(sched(0)), 0.01)
     assert np.isclose(float(sched(25)), 0.001)
     assert np.isclose(float(sched(45)), 0.0001)
+
+
+def test_pretrain_multistep_lr_wired(tmp_path):
+    """PretrainConfig.lr_milestones (epochs) drives the optimizer lr —
+    the my_pretrain MultiStepLR[500] path (my_pretrain.py:63-66), scaled
+    here to milestone epoch 1 so two epochs cross it."""
+    x, y, mask = dataset.synthetic_cp_dataset(8, 32, n_class=TINY.vocab_sizes)
+    params = lt.init_params(jax.random.PRNGKey(0), TINY)
+    pcfg = C.PretrainConfig(n_epoch=2, batch_size=4, lr=1e-3,
+                            lr_milestones=(1,), lr_gamma=0.1,
+                            ckpt_dir=str(tmp_path / "ckpt"),
+                            exp_dir=str(tmp_path / "exp"))
+    _, opt_state, _ = pretrain.pretrain(params, TINY, x, y, mask, pcfg)
+    # chain = (clip, inject_hyperparams(adam)); after epoch 2 the lr
+    # hyperparam must have decayed by gamma
+    lr_now = float(opt_state[1].hyperparams["learning_rate"])
+    assert np.isclose(lr_now, 1e-4, rtol=1e-3), lr_now
+
+
+def test_cli_flags_parse():
+    """ppo-train --compat-forward-returns and my-pretrain --lr-milestones
+    reach their configs (VERDICT r1, Next #10)."""
+    import importlib
+    import os
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "apps"))
+    cli = importlib.import_module("cli")
+    p = cli.build_parser()
+    a = p.parse_args(["ppo-train", "--compat-forward-returns"])
+    assert a.compat_forward_returns is True
+    a = p.parse_args(["ppo-train"])
+    assert a.compat_forward_returns is False
+    a = p.parse_args(["my-pretrain", "--lr-milestones", "500,700"])
+    assert a.lr_milestones == "500,700"
