@@ -1,0 +1,54 @@
+"""v3 fused whole-step decode kernel: parity vs the scan decode path."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from reinforcement_learning_in_music_generation_tpu import config as C
+from reinforcement_learning_in_music_generation_tpu.models import (
+    linear_transformer as lt)
+from reinforcement_learning_in_music_generation_tpu.ops import (
+    decode_kernel_v3 as dk3)
+
+CFG = C.LinearTransformerConfig(
+    vocab_sizes=(8, 8, 8, 8, 8, 8), emb_sizes=(8,) * 6,
+    d_model=32, n_layer=3, n_head=2, d_inner=64)
+
+
+def test_v3_matches_decode_step_interpret():
+    params = lt.init_params(jax.random.PRNGKey(0), CFG)
+    v3p = dk3.make_v3_params(params, CFG, dtype=jnp.float32)
+    b = 4
+    rng = np.random.default_rng(0)
+    toks = rng.integers(0, 8, size=(6, b, 6)).astype(np.int32)
+
+    state_ref = lt.init_decode_state(CFG, b)
+    s_aug = dk3.init_aug_state(CFG, b)
+    state_v3 = lt.DecodeState(s_aug, state_ref.z, state_ref.step)
+
+    for t in range(toks.shape[0]):
+        tok = jnp.asarray(toks[t])
+        h_ref, state_ref = lt.decode_step(params, CFG, tok, state_ref)
+        h_v3, state_v3 = dk3.decode_step_v3(params, v3p, CFG, tok, state_v3,
+                                            interpret=True)
+        np.testing.assert_allclose(np.asarray(h_v3), np.asarray(h_ref),
+                                   rtol=2e-4, atol=2e-5)
+
+    # state parity: v3 aug state vs (s, z)
+    s_v3 = np.asarray(state_v3.s)            # (L, H, B, E, E+1)
+    s_ref = np.asarray(state_ref.s)          # (L, B, H, E, E)
+    z_ref = np.asarray(state_ref.z)          # (L, B, H, E)
+    np.testing.assert_allclose(s_v3[..., :-1],
+                               s_ref.transpose(0, 2, 1, 3, 4),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(s_v3[..., -1],
+                               z_ref.transpose(0, 2, 1, 3),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_erf_poly_is_f32_exact():
+    from reinforcement_learning_in_music_generation_tpu.ops.decode_kernel_v3 import _erf
+    x = jnp.linspace(-5, 5, 4001)
+    err = jnp.max(jnp.abs(_erf(x) - jax.lax.erf(x)))
+    # 1.5e-7 analytic bound + f32 rounding => ~4e-7 measured
+    assert float(err) <= 1e-6, float(err)
