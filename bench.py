@@ -18,7 +18,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-BATCH = int(os.environ.get("RLMG_BENCH_BATCH", "32"))
+BATCH = int(os.environ.get("RLMG_BENCH_BATCH", "256"))
 STEPS = int(os.environ.get("RLMG_BENCH_STEPS", "256"))
 PRETRAIN_BATCH = int(os.environ.get("RLMG_BENCH_PRETRAIN_BATCH", "32"))
 PRETRAIN_SEQ = int(os.environ.get("RLMG_BENCH_PRETRAIN_SEQ", "512"))
@@ -76,7 +76,8 @@ def bench_decode():
     def run(seed):
         return sampler.generate_tokens(
             params, cfg, jax.random.PRNGKey(seed), init,
-            max_tokens=STEPS, bar_cond=None)
+            max_tokens=STEPS, bar_cond=None,
+            fused=sampler.use_fused_decode())
 
     import numpy as np
     # Tunneled-platform timing protocol: the first post-warmup

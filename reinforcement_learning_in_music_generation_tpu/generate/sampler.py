@@ -20,6 +20,7 @@ Stop conditions:
 from __future__ import annotations
 
 import functools
+import os
 from typing import NamedTuple, Optional, Sequence, Tuple
 
 import jax
@@ -40,10 +41,23 @@ class GenResult(NamedTuple):
 CP_SEED = (0, 0, 1, 0, 0, 0)
 
 
+def use_fused_decode() -> bool:
+    """The v3 fused decode kernel runs on real TPU backends only (Mosaic);
+    RLMG_FUSED_DECODE=0/1 overrides the platform auto-detection."""
+    env = os.environ.get("RLMG_FUSED_DECODE")
+    if env is not None:
+        return env == "1"
+    try:
+        return jax.default_backend() in ("tpu", "axon")
+    except Exception:
+        return False
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("cfg", "max_tokens", "bar_cond", "token_count",
-                     "barbeat_field", "bar_token_id", "greedy", "settings"))
+                     "barbeat_field", "bar_token_id", "greedy", "settings",
+                     "fused"))
 def generate_tokens(params, cfg: LinearTransformerConfig, rng: jax.Array,
                     init_tokens: jax.Array, *, max_tokens: int,
                     bar_cond: Optional[int] = None,
@@ -51,20 +65,35 @@ def generate_tokens(params, cfg: LinearTransformerConfig, rng: jax.Array,
                     barbeat_field: int = 2, bar_token_id: int = 1,
                     greedy: bool = False,
                     settings: Tuple[smp.FieldSampling, ...] = tuple(smp.CP_SAMPLING),
+                    fused: bool = False,
                     ) -> GenResult:
     """init_tokens (B, T0, n_fields) seeds the state (teacher-forced), then
-    `max_tokens` sampled steps.  Returns seed+generated tokens."""
+    `max_tokens` sampled steps.  Returns seed+generated tokens.
+
+    fused=True decodes through the v3 whole-step Pallas kernel
+    (ops/decode_kernel_v3) — +37-45% tokens/sec on v5e, TPU-only."""
     b, t0, nf = init_tokens.shape
     from ..models import common as cm
     dtype = params["in_linear"]["w"].dtype  # share one table across steps
     pe = cm.sinusoidal_table(cfg.max_len, cfg.d_model, dtype)
 
-    state = lt.init_decode_state(cfg, b)
+    if fused:
+        from ..ops import decode_kernel_v3 as dk3
+        v3p = dk3.make_v3_params(params, cfg, dtype=dtype)
+        state = lt.DecodeState(dk3.init_aug_state(cfg, b),
+                               jnp.zeros((1,), jnp.float32),
+                               jnp.zeros((), jnp.int32))
+        step_fn = functools.partial(dk3.decode_step_v3, params, v3p, cfg,
+                                    pe_table=pe)
+    else:
+        state = lt.init_decode_state(cfg, b)
+        step_fn = functools.partial(lt.decode_step, params, cfg, pe_table=pe)
+
     h = jnp.zeros((b, cfg.d_model), dtype)
     # seed: feed init tokens
     def seed_body(carry, tok):
         h, state = carry
-        h, state = lt.decode_step(params, cfg, tok, state, pe_table=pe)
+        h, state = step_fn(tok, state)
         return (h, state), None
     (h, state), _ = jax.lax.scan(seed_body, (h, state),
                                  init_tokens.transpose(1, 0, 2))
@@ -82,7 +111,7 @@ def generate_tokens(params, cfg: LinearTransformerConfig, rng: jax.Array,
         valid_now = ~done
         if bar_cond is not None:
             done = done | (bars >= bar_cond)
-        h, state = lt.decode_step(params, cfg, tok, state, pe_table=pe)
+        h, state = step_fn(tok, state)
         return (h, state, bars, done), (tok, valid_now)
 
     rngs = jax.random.split(rng, max_tokens)
@@ -120,7 +149,8 @@ def generate_songs(params, cfg: LinearTransformerConfig,
         bar_cond=gen_cfg.bar_production if gen_cfg.token_count is None else None,
         token_count=gen_cfg.token_count,
         greedy=gen_cfg.greedy,
-        settings=tuple(smp.GREEDY) if gen_cfg.greedy else tuple(smp.CP_SAMPLING))
+        settings=tuple(smp.GREEDY) if gen_cfg.greedy else tuple(smp.CP_SAMPLING),
+        fused=use_fused_decode())
     tokens = np.asarray(res.tokens)
     valid = np.asarray(res.valid)
     return [tokens[i][valid[i]] for i in range(b)]

@@ -173,10 +173,12 @@ def fused_stack_step(v3p: dict, h0: jax.Array, s_aug: jax.Array,
     b, d = h0.shape
     L, H = s_aug.shape[0], s_aug.shape[1]
     e = d // n_head
-    # batch blocks keep the per-program state slice ~<=1MB so the whole
-    # pipeline stays inside Mosaic's 16MB scoped-VMEM budget at any batch
+    # batch blocks keep the per-program state slice ~<=0.5MB (~1MB after
+    # the 65->128 lane padding) so the whole pipeline — including the
+    # double-buffered FFN weights — stays inside Mosaic's 16MB scoped-VMEM
+    # budget at any batch size
     bb = b
-    for cand in (64, 32, 16, 8):
+    for cand in (32, 16, 8):
         if b > 64 and b % cand == 0:
             bb = cand
             break
