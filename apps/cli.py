@@ -409,11 +409,15 @@ def cmd_generate(args):
         rows = np.delete(rows, 3, axis=1)            # drop 'type'
         init = rows[: args.prompt_tokens] if args.prompt_tokens else rows
         print(f"prompt: {args.prompt} -> {len(init)} seed tokens")
+    mesh = None
+    if args.dp > 1 or args.tp > 1:
+        from reinforcement_learning_in_music_generation_tpu.parallel import make_mesh
+        mesh = make_mesh(dp=args.dp, tp=args.tp)
     stats = RuntimeStats()
     if args.warmup:
-        sampler.generate_songs(params, mcfg, gcfg, init=init)  # compile outside timing
+        sampler.generate_songs(params, mcfg, gcfg, init=init, mesh=mesh)
     t0 = time.time()
-    songs = sampler.generate_songs(params, mcfg, gcfg, init=init)
+    songs = sampler.generate_songs(params, mcfg, gcfg, init=init, mesh=mesh)
     elapsed = time.time() - t0
     total_tokens = sum(len(s) for s in songs)
     for i, song in enumerate(songs):
@@ -565,6 +569,8 @@ def build_parser() -> argparse.ArgumentParser:
     d.add_argument("--prompt", default=None,
                    help="MIDI file to continue from (CP-encoded seed)")
     d.add_argument("--prompt-tokens", type=int, default=None)
+    d.add_argument("--dp", type=int, default=1)
+    d.add_argument("--tp", type=int, default=1)
     d.add_argument("--dtype", default="bfloat16",
                    choices=("float32", "bfloat16"),
                    help="decode weight dtype (bf16 halves HBM traffic)")

@@ -30,6 +30,8 @@ class LinearTransformerConfig:
     dropout: float = 0.1
     max_len: int = 20000           # sinusoidal table size (model.py:78)
     attn_eps: float = 1e-6         # linear-attention denominator epsilon
+    attn_chunk: int = 128          # linear-attention chunk length
+    attn_backend: Optional[str] = None  # 'pallas'/'xla'; None = auto/env
     with_value_head: bool = False  # PPO actor adds one (ppo model.py:154-158)
     dtype: str = "float32"         # activation dtype ("bfloat16" for speed)
 

@@ -132,10 +132,15 @@ def generate_tokens(params, cfg: LinearTransformerConfig, rng: jax.Array,
 
 def generate_songs(params, cfg: LinearTransformerConfig,
                    gen_cfg: GenerateConfig, *, rng: Optional[jax.Array] = None,
-                   init: Sequence[int] = CP_SEED) -> list:
+                   init: Sequence[int] = CP_SEED, mesh=None) -> list:
     """Host-side convenience: returns a list of (n_tokens_i, nf) numpy arrays,
     one per song (valid prefix only).  `init` is either one seed token row
-    or a (T0, nf) prompt (e.g. an encoded MIDI for continuation)."""
+    or a (T0, nf) prompt (e.g. an encoded MIDI for continuation).
+
+    `mesh`: optional ('dp','tp') jax Mesh — weights get the Megatron tp
+    shardings (parallel/sharding.py, heads shard over qkv columns), the
+    song batch shards over dp; tokens match single-device decode
+    (tests/test_sharded_generation.py)."""
     import numpy as np
     rng = rng if rng is not None else jax.random.PRNGKey(gen_cfg.seed)
     b = gen_cfg.batch_size
@@ -143,6 +148,12 @@ def generate_songs(params, cfg: LinearTransformerConfig,
     if init_arr.ndim == 1:
         init_arr = init_arr[None, :]
     init_tokens = jnp.tile(init_arr[None], (b, 1, 1))
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from ..parallel import shard_params
+        params = shard_params(mesh, params)
+        dp_spec = P("dp", None, None) if b % mesh.shape["dp"] == 0 else P()
+        init_tokens = jax.device_put(init_tokens, NamedSharding(mesh, dp_spec))
     res = generate_tokens(
         params, cfg, rng, init_tokens,
         max_tokens=gen_cfg.max_tokens,

@@ -103,7 +103,9 @@ def _layer_forward(cfg: LinearTransformerConfig, h: jax.Array, lp: dict,
     q = _split_heads(cm.linear(lp["wq"], h), cfg.n_head)
     k = _split_heads(cm.linear(lp["wk"], h), cfg.n_head)
     v = _split_heads(cm.linear(lp["wv"], h), cfg.n_head)
-    att = causal_linear_attention(q, k, v, eps=cfg.attn_eps, backend=attn_backend)
+    att = causal_linear_attention(q, k, v, eps=cfg.attn_eps,
+                                  backend=attn_backend or cfg.attn_backend,
+                                  chunk=cfg.attn_chunk)
     att = cm.linear(lp["wo"], _merge_heads(att))
     h = cm.layernorm(lp["ln1"], h + cm.dropout(r1, att, cfg.dropout, deterministic))
     y = jax.nn.gelu(cm.linear(lp["ffn1"], h), approximate=False)
