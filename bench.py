@@ -20,7 +20,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 BATCH = int(os.environ.get("RLMG_BENCH_BATCH", "256"))
 STEPS = int(os.environ.get("RLMG_BENCH_STEPS", "256"))
-PRETRAIN_BATCH = int(os.environ.get("RLMG_BENCH_PRETRAIN_BATCH", "32"))
+PRETRAIN_BATCH = int(os.environ.get("RLMG_BENCH_PRETRAIN_BATCH", "64"))
 PRETRAIN_SEQ = int(os.environ.get("RLMG_BENCH_PRETRAIN_SEQ", "512"))
 RUN_RL = os.environ.get("RLMG_BENCH_RL", "1") == "1"
 DQN_BUFFER = int(os.environ.get("RLMG_BENCH_DQN_BUFFER", "20000"))
@@ -117,7 +117,6 @@ def bench_pretrain():
     bx, by = jnp.asarray(x), jnp.asarray(y)
     bm = jnp.asarray(mask, jnp.float32)
 
-    import numpy as np
     key = lambda i: jax.random.key(i, impl="rbg")   # ~11% over threefry
     params, opt_state, (loss, _) = agent_train_step(
         params, opt_state, cfg, tx, bx, by, bm, key(1))
@@ -125,14 +124,15 @@ def bench_pretrain():
     params, opt_state, (loss, _) = agent_train_step(
         params, opt_state, cfg, tx, bx, by, bm, key(2))
     float(loss)                     # sacrificial fetch (see bench_decode)
-    times = []
-    for i in range(4):
-        t0 = time.time()
+    # steps chain through (params, opt_state) data deps; one fetch at the
+    # end keeps the ~10-40ms tunnel D2H latency out of the per-step number
+    K = 10
+    t0 = time.time()
+    for i in range(K):
         params, opt_state, (loss, _) = agent_train_step(
-            params, opt_state, cfg, tx, bx, by, bm, key(i))
-        jax.block_until_ready(loss)
-        times.append(time.time() - t0)
-    elapsed = min(times)
+            params, opt_state, cfg, tx, bx, by, bm, key(i + 3))
+    float(loss)
+    elapsed = (time.time() - t0) / K
     return PRETRAIN_BATCH * PRETRAIN_SEQ / elapsed, elapsed
 
 

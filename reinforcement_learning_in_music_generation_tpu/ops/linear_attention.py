@@ -47,10 +47,21 @@ _DEF_CHUNK = 128
 
 
 def default_backend() -> str:
+    """Training-path default.
+
+    Measured on the tunneled v5e (BENCH.md round-2 MFU sweep): the XLA
+    chunked path beats the Pallas kernels at the reference training shapes
+    (B=64/S=512: 147K vs 126K tok/s full train step) and, more importantly,
+    the Pallas fwd+bwd at B>=64 crashes this platform's remote compile
+    helper (HTTP 500).  The Pallas kernels remain selectable
+    (RLMG_ATTN_BACKEND=pallas / cfg.attn_backend), parity-tested, and used
+    by the sequence-parallel path; the fused *decode* kernel
+    (ops/decode_kernel_v3) is unaffected and is the decode default on TPU.
+    """
     env = os.environ.get("RLMG_ATTN_BACKEND")
     if env:
         return env
-    return "pallas" if jax.default_backend() not in ("cpu",) else "xla"
+    return "xla"
 
 
 def feature_map(x: jax.Array) -> jax.Array:
