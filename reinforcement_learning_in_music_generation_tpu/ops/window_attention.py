@@ -118,12 +118,15 @@ def window_attention_blocked(q: jax.Array, k: jax.Array, v: jax.Array,
         dist = jnp.clip(row + w - col, -max_rel, max_rel) + max_rel
         rel_block = rel_emb[dist]                      # (blk, kw, D)
 
-    def one_block(i):
-        qs = i * blk
-        qb = jax.lax.dynamic_slice_in_dim(qp, qs, blk, axis=2)
-        kb = jax.lax.dynamic_slice_in_dim(kp, qs, kw, axis=2)
-        vb = jax.lax.dynamic_slice_in_dim(vp, qs, kw, axis=2)
-        mb = jax.lax.dynamic_slice_in_dim(mp, qs, kw, axis=1)
+    def one_block(qs):
+        # STATIC slices: their gradients lower to pads (parallel, fusable)
+        # instead of the serialized dynamic_update_slice accumulation a
+        # lax.map over dynamic slices produces — measured 6.6x fwd cost
+        # for the S=3584 discrim-LM backward before this change.
+        qb = jax.lax.slice_in_dim(qp, qs, qs + blk, axis=2)
+        kb = jax.lax.slice_in_dim(kp, qs, qs + kw, axis=2)
+        vb = jax.lax.slice_in_dim(vp, qs, qs + kw, axis=2)
+        mb = jax.lax.slice_in_dim(mp, qs, qs + kw, axis=1)
         scores = jnp.einsum("bhqd,bhkd->bhqk", qb, kb) * scale
         if rel_emb is not None:
             scores += jnp.einsum("bhqd,qkd->bhqk", qb, rel_block) * scale
@@ -133,6 +136,6 @@ def window_attention_blocked(q: jax.Array, k: jax.Array, v: jax.Array,
         probs = jax.nn.softmax(scores, axis=-1)
         return jnp.einsum("bhqk,bhkd->bhqd", probs, vb)
 
-    outs = jax.lax.map(one_block, jnp.arange(nb))      # (nb, B, H, blk, D)
-    out = outs.transpose(1, 2, 0, 3, 4).reshape(b, h, s_pad, d)
+    outs = [one_block(i * blk) for i in range(nb)]     # nb x (B, H, blk, D)
+    out = jnp.concatenate(outs, axis=2)                # (B, H, s_pad, D)
     return out[:, :, :s]
