@@ -22,10 +22,24 @@ completeness (off by default to match effective reference behavior).
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 
 NEG_INF = -1e9
+
+
+def _use_pallas_band() -> bool:
+    """Long-sequence band attention backend selector.
+
+    Measured on v5e at the discrim-LM shape (B=4, S=3584, window 512):
+    the flash-band Pallas kernel ties the XLA blocked form (8.5 vs 7.9 ms
+    fwd+bwd; both are grid/program-latency bound at these sizes, not
+    bandwidth bound — BENCH.md round-2).  XLA therefore stays the default;
+    RLMG_WINDOW_BACKEND=pallas opts into the kernel (parity-tested,
+    expected to win at larger S*B where DMA dominates)."""
+    return os.environ.get("RLMG_WINDOW_BACKEND") == "pallas"
 
 
 def band_mask(seq_len: int, one_sided_window: int, dtype=jnp.float32) -> jax.Array:
@@ -50,6 +64,9 @@ def window_attention(q: jax.Array, k: jax.Array, v: jax.Array,
     """
     s = q.shape[2]
     if s > block_threshold and s > 2 * window:
+        if rel_emb is None and window // 2 <= 256 and _use_pallas_band():
+            from .window_attention_kernel import window_attention_pallas
+            return window_attention_pallas(q, k, v, attention_mask, window)
         return window_attention_blocked(q, k, v, attention_mask,
                                         window=window, rel_emb=rel_emb)
     return _window_attention_dense(q, k, v, attention_mask,
