@@ -77,7 +77,14 @@ def generate_tokens(params, cfg: LinearTransformerConfig, rng: jax.Array,
     dtype = params["in_linear"]["w"].dtype  # share one table across steps
     pe = cm.sinusoidal_table(cfg.max_len, cfg.d_model, dtype)
 
-    if fused:
+    if fused and cfg.n_head % 2 == 0:
+        # head-pair packed kernel (v4): +27% over v3 on v5e (BENCH.md)
+        from ..ops import decode_kernel_v4 as dk4
+        v4p = dk4.make_v4_params(params, cfg, dtype=dtype)
+        state = dk4.init_pair_state(cfg, b)
+        step_fn = functools.partial(dk4.decode_step_v4, params, v4p, cfg,
+                                    pe_table=pe)
+    elif fused:
         from ..ops import decode_kernel_v3 as dk3
         v3p = dk3.make_v3_params(params, cfg, dtype=dtype)
         state = lt.DecodeState(dk3.init_aug_state(cfg, b),

@@ -46,6 +46,39 @@ def test_v3_matches_decode_step_interpret():
                                rtol=1e-4, atol=1e-5)
 
 
+def test_v4_matches_decode_step_interpret():
+    from reinforcement_learning_in_music_generation_tpu.ops import (
+        decode_kernel_v4 as dk4)
+
+    params = lt.init_params(jax.random.PRNGKey(0), CFG)
+    v4p = dk4.make_v4_params(params, CFG, dtype=jnp.float32)
+    b = 4
+    rng = np.random.default_rng(1)
+    toks = rng.integers(0, 8, size=(6, b, 6)).astype(np.int32)
+
+    state_ref = lt.init_decode_state(CFG, b)
+    state_v4 = dk4.init_pair_state(CFG, b)
+    for t in range(toks.shape[0]):
+        tok = jnp.asarray(toks[t])
+        h_ref, state_ref = lt.decode_step(params, CFG, tok, state_ref)
+        h_v4, state_v4 = dk4.decode_step_v4(params, v4p, CFG, tok, state_v4,
+                                            interpret=True)
+        np.testing.assert_allclose(np.asarray(h_v4), np.asarray(h_ref),
+                                   rtol=2e-4, atol=2e-5)
+
+    # state parity: v4 pair-packed s/z vs reference (L, B, H, E, E)/(L, B, H, E)
+    L, P = CFG.n_layer, CFG.n_head // 2
+    e = CFG.d_head
+    s_v4 = np.asarray(state_v4.s).reshape(L, P, b, e, 2, e)
+    s_v4 = s_v4.transpose(0, 2, 1, 4, 3, 5).reshape(L, b, CFG.n_head, e, e)
+    np.testing.assert_allclose(s_v4, np.asarray(state_ref.s),
+                               rtol=1e-4, atol=1e-5)
+    z_v4 = np.asarray(state_v4.z).reshape(L, P, b, 2, e)
+    z_v4 = z_v4.transpose(0, 2, 1, 3, 4).reshape(L, b, CFG.n_head, e)
+    np.testing.assert_allclose(z_v4, np.asarray(state_ref.z),
+                               rtol=1e-4, atol=1e-5)
+
+
 def test_erf_poly_is_f32_exact():
     from reinforcement_learning_in_music_generation_tpu.ops.decode_kernel_v3 import _erf
     x = jnp.linspace(-5, 5, 4001)
