@@ -186,6 +186,11 @@ class AIRLConfig:
     batch_size: int = 100
     lr_step: int = 10
     lr_gamma: float = 0.1
+    # buffer re-scoring batch (pure inference).  Measured on v5e: 100 beats
+    # 500/2000 (955 vs 985/1451 ms per 20000 states) — the dense (B,H,S,S)
+    # attention score tensors are the HBM cost and scale with batch, so
+    # bigger inference batches LOSE here; kept as a knob
+    score_batch_size: int = 100
 
 
 @dataclasses.dataclass(frozen=True)

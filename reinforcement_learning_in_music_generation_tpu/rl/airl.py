@@ -136,10 +136,11 @@ def update_disc(state: AIRLState, mcfg: WindowTransformerConfig,
                 expert_buffer["state"], expert_buffer["mask_state"],
                 agent_buffer["state"], ep_rng, cfg.batch_size)
             metrics_hist.append({k: float(v) for k, v in metrics.items()})
+    score_bs = getattr(cfg, "score_batch_size", cfg.batch_size)
     agent_r = calculate_reward(state, mcfg, agent_buffer["state"],
-                               expert_buffer["mask_state"], cfg.batch_size)
+                               expert_buffer["mask_state"], score_bs)
     expert_r = calculate_reward(state, mcfg, expert_buffer["state"],
-                                expert_buffer["mask_state"], cfg.batch_size)
+                                expert_buffer["mask_state"], score_bs)
     return state, agent_r, expert_r, metrics_hist
 
 
