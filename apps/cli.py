@@ -42,7 +42,7 @@ def cmd_prepare_data(args):
     """MIDI folder -> worded_data.pickle + dictionary.pickle
     (ppo_policy/prepare_data.py:360-380, __main__:467-477)."""
     import pickle
-    from reinforcement_learning_in_music_generation_tpu.data import events, tokenizer
+    from reinforcement_learning_in_music_generation_tpu.data import tokenizer
 
     os.makedirs(args.save_folder, exist_ok=True)
     midis = []
@@ -59,7 +59,8 @@ def cmd_prepare_data(args):
         # for these; this closes that gap.
         from reinforcement_learning_in_music_generation_tpu.data import cp_tokenizer
         x, y, mask, dicts = cp_tokenizer.build_cp_training_data(
-            midis, seq_len=args.cp_seq_len, with_type=True)
+            midis, seq_len=args.cp_seq_len, with_type=True,
+            workers=args.workers)
         np.savez(os.path.join(args.save_folder, "train_data_linear.npz"),
                  x=x, y=y, mask=mask)
         with open(os.path.join(args.save_folder, "dictionary.pkl"), "wb") as f:
@@ -67,14 +68,9 @@ def cmd_prepare_data(args):
         print(f"CP dataset: x {x.shape} -> {args.save_folder}")
         return
 
-    songs = []
-    for path in midis:
-        try:
-            tes = events.extract_tuple_events(path)
-            if tes:
-                songs.append(events.group_by_bar(tes))
-        except Exception as e:  # skip malformed files like the reference
-            print(f"  [skip] {path}: {e}")
+    from reinforcement_learning_in_music_generation_tpu.data import (
+        parallel_encode)
+    songs = parallel_encode.tuple_extract_corpus(midis, workers=args.workers)
     dicts = tokenizer.construct_tuple_dict()
     dict_path = os.path.join(args.save_folder, "dictionary.pickle")
     tokenizer.save_dict(dicts, dict_path)
@@ -475,6 +471,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="tuple: ppo pipeline files; cp: DQN-side "
                         "train_data_linear.npz + dictionary.pkl")
     d.add_argument("--cp-seq-len", type=int, default=3584)
+    d.add_argument("--workers", type=int, default=None,
+                   help="process-pool width for encoding (default: all CPUs)")
     d.set_defaults(fn=cmd_prepare_data)
 
     d = sub.add_parser("preprocess", help="worded data -> packed dataset")

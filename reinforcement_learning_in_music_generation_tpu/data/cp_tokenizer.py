@@ -169,28 +169,19 @@ class CPEncoder:
 
 
 def build_cp_training_data(midi_paths: Sequence[str], *, seq_len: int = 3584,
-                           with_type: bool = True, with_chords: bool = True
+                           with_type: bool = True, with_chords: bool = True,
+                           workers: int | None = 1
                            ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, Tuple[Dict, Dict]]:
     """Encode a corpus into the Pop1K7 npz layout: x/y (N, seq_len, F),
     mask (N, seq_len) — x the rows, y the next-row targets
-    (agent_pretrain.py:491-531 consumption format)."""
+    (agent_pretrain.py:491-531 consumption format).
+
+    ``workers``: process-pool width (None = all CPUs); output is ordered
+    and identical to the sequential encode."""
     enc = CPEncoder()
-    xs, masks = [], []
-    for path in midi_paths:
-        try:
-            rows = enc.encode(path, with_chords=with_chords)
-        except Exception:
-            continue
-        if len(rows) < 2:
-            continue
-        n_fields = rows.shape[1]
-        padded = np.zeros((seq_len, n_fields), np.int32)
-        m = np.zeros(seq_len, np.float32)
-        n = min(len(rows), seq_len)
-        padded[:n] = rows[:n]
-        m[:n] = 1.0
-        xs.append(padded)
-        masks.append(m)
+    from .parallel_encode import cp_encode_corpus
+    xs, masks = cp_encode_corpus(midi_paths, seq_len=seq_len,
+                                 with_chords=with_chords, workers=workers)
     x = np.stack(xs) if xs else np.zeros((0, seq_len, 7), np.int32)
     y = np.roll(x, -1, axis=1)
     if len(y):
