@@ -125,8 +125,33 @@ def generate_tokens(params, cfg: LinearTransformerConfig, rng: jax.Array,
     done0 = jnp.zeros((b,), bool)
     if bar_cond is not None:
         done0 = init_bars >= bar_cond
-    (_, _, bars, _), (toks, valid) = jax.lax.scan(
-        step, (h, state, init_bars, done0), rngs)
+
+    if bar_cond is not None:
+        # early-exit decode (SURVEY §7.6): a while_loop stops as soon as
+        # every song reached its bar count instead of always burning
+        # max_tokens steps; emitted tokens land in a preallocated buffer.
+        toks_buf = jnp.zeros((max_tokens, b, nf), jnp.int32)
+        valid_buf = jnp.zeros((max_tokens, b), bool)
+
+        def cond(c):
+            t, _, _, _, done, _, _ = c
+            return jnp.logical_and(t < max_tokens, ~jnp.all(done))
+
+        def body(c):
+            t, h, state, bars, done, tb, vb = c
+            (h, state, bars, done), (tok, valid_now) = step(
+                (h, state, bars, done), rngs[t])
+            tb = jax.lax.dynamic_update_slice_in_dim(tb, tok[None], t, 0)
+            vb = jax.lax.dynamic_update_slice_in_dim(vb, valid_now[None], t, 0)
+            return t + 1, h, state, bars, done, tb, vb
+
+        (_, _, _, bars, _, toks, valid) = jax.lax.while_loop(
+            cond, body,
+            (jnp.zeros((), jnp.int32), h, state, init_bars, done0,
+             toks_buf, valid_buf))
+    else:
+        (_, _, bars, _), (toks, valid) = jax.lax.scan(
+            step, (h, state, init_bars, done0), rngs)
     toks = toks.transpose(1, 0, 2)          # (B, T, nf)
     valid = valid.transpose(1, 0)           # (B, T)
     if token_count is not None:
