@@ -65,8 +65,11 @@ def window_attention(q: jax.Array, k: jax.Array, v: jax.Array,
     s = q.shape[2]
     if s > block_threshold and s > 2 * window:
         if rel_emb is None and window // 2 <= 256 and _use_pallas_band():
-            from .window_attention_kernel import window_attention_pallas
-            return window_attention_pallas(q, k, v, attention_mask, window)
+            from .window_attention_kernel import (pick_blocks,
+                                                  window_attention_pallas)
+            bf, bkv = pick_blocks(s, window)
+            return window_attention_pallas(q, k, v, attention_mask, window,
+                                           bf, False, bkv)
         return window_attention_blocked(q, k, v, attention_mask,
                                         window=window, rel_emb=rel_emb)
     return _window_attention_dense(q, k, v, attention_mask,

@@ -185,14 +185,35 @@ def _specs(blk, d, nb, *, neighbor_of):
     return qkv, neighbors, m_neighbors, m_own, col, col_neighbors
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def pick_blocks(s: int, window: int) -> Tuple[int, int]:
+    """(block_fwd_dq, block_kv) for a sequence length.
+
+    Measured on v5e at the discrim-LM shape: 256/256 beats 512/256
+    (8.84 vs 9.52 ms fwd+bwd) — larger query blocks grow the (blk, 3*blk)
+    score matmuls quadratically while the useful band stays w+1 wide, so
+    the halo waste dominates any per-program-latency saving.  The minimum
+    block is the smallest multiple of 8 covering the one-sided window
+    (neighbor radius 1)."""
+    w = max(1, window // 2)
+    blk = max(256, ((w + 7) // 8) * 8)
+    return blk, blk
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
 def window_attention_pallas(q, k, v, mask, window: int, block: int = 256,
-                            interpret: bool = False):
+                            interpret: bool = False,
+                            block_kv: int = 256):
     """Band softmax attention, flash-style Pallas kernels.
 
     q,k,v (B,H,S,D); mask (B,S) 1=keep (None = all keep); window = full
     window (one-sided = window // 2, HF convention).  Requires
-    block >= window // 2 (neighbor radius 1)."""
+    block >= window // 2 (neighbor radius 1).
+
+    ``block`` sizes the forward and dq passes; ``block_kv`` the dk/dv pass,
+    whose per-program working set is ~3x larger (three neighbor q/do/lse
+    blocks) and overflows scoped VMEM at 512.  Both paddings must agree
+    (they do whenever both divide S); otherwise block_kv falls back to
+    block."""
     out, _ = _wa_fwd(q, k, v, mask, window, block, interpret)
     return out
 
@@ -221,11 +242,13 @@ def _wa_fwd(q, k, v, mask, window, block, interpret):
     return out4, (q, k, v, mask, out4, lse)
 
 
-def _wa_bwd(window, block, interpret, res, g):
+def _wa_bwd(window, block, interpret, block_kv, res, g):
     q, k, v, mask, out, lse = res
     b, h, s, d = q.shape
     w = max(1, window // 2)
     blk = block
+    blk_kv = block_kv if (block_kv and (-s) % block_kv == (-s) % blk
+                          and block_kv >= w) else blk
     qf, kf, vf, mf, sp, pad = _prep(q, k, v, mask, blk)
     dof = jnp.pad(g, ((0, 0), (0, 0), (0, pad), (0, 0))).reshape(b * h, sp, d)
     # per-row sum(dO * O) for the softmax gradient
@@ -247,14 +270,17 @@ def _wa_bwd(window, block, interpret, res, g):
         interpret=interpret,
     )(qf, kf, kf, kf, vf, vf, vf, mf, mf, mf, lse, dof, drf)
 
-    dkv_kernel = functools.partial(_dkv_kernel, blk=blk, w=w, nb=nb,
+    nb_kv = sp // blk_kv
+    kv_spec, kv_nbr, kv_m_nbr, kv_m_own, kv_col, kv_col_nbr = _specs(
+        blk_kv, d, nb_kv, neighbor_of=None)
+    dkv_kernel = functools.partial(_dkv_kernel, blk=blk_kv, w=w, nb=nb_kv,
                                    scale=scale)
     dk, dv = pl.pallas_call(
         dkv_kernel,
-        grid=(b * h, nb),
-        in_specs=[qkv_spec, qkv_spec, m_own] + nbr + nbr
-                 + col_nbr + col_nbr,
-        out_specs=[qkv_spec, qkv_spec],
+        grid=(b * h, nb_kv),
+        in_specs=[kv_spec, kv_spec, kv_m_own] + kv_nbr + kv_nbr
+                 + kv_col_nbr + kv_col_nbr,
+        out_specs=[kv_spec, kv_spec],
         out_shape=[jax.ShapeDtypeStruct((b * h, sp, d), k.dtype),
                    jax.ShapeDtypeStruct((b * h, sp, d), v.dtype)],
         interpret=interpret,
@@ -268,6 +294,6 @@ def _wa_bwd(window, block, interpret, res, g):
 
 
 window_attention_pallas.defvjp(
-    lambda q, k, v, mask, window, block, interpret:
+    lambda q, k, v, mask, window, block, interpret, block_kv:
         _wa_fwd(q, k, v, mask, window, block, interpret),
     _wa_bwd)
