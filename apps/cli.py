@@ -116,7 +116,8 @@ def cmd_pretrain(args):
     from reinforcement_learning_in_music_generation_tpu.train import pretrain_lib
 
     vocab = tuple(int(v) for v in args.vocab.split(",")) if args.vocab else (56, 135, 18, 87, 18, 25)
-    mcfg = C.agent_config(vocab, n_layer=args.layers, dtype=args.dtype)
+    mcfg = C.agent_config(vocab, n_layer=args.layers, dtype=args.dtype,
+                          scan_unroll=args.scan_unroll)
     x, y, mask = _load_pretrain_data(args, vocab)
     params = lt.init_params(jax.random.PRNGKey(args.seed), mcfg)
     print(f"n_parameters: {lt.n_params(params):,}")
@@ -179,7 +180,8 @@ def cmd_my_pretrain(args):
     else:
         from reinforcement_learning_in_music_generation_tpu.models import (
             linear_transformer as lt)
-        mcfg = C.actor_config(vocab, n_layer=args.layers)
+        mcfg = C.actor_config(vocab, n_layer=args.layers,
+                              scan_unroll=args.scan_unroll)
         params = lt.init_params(jax.random.PRNGKey(args.seed), mcfg)
         pretrain_lib.pretrain(params, mcfg, x, y, mask, pcfg,
                               max_steps=args.max_steps)
@@ -496,6 +498,9 @@ def build_parser() -> argparse.ArgumentParser:
         d.add_argument("--exp-dir", default="./exp")
         d.add_argument("--seed", type=int, default=0)
         d.add_argument("--wandb", action="store_true")
+        d.add_argument("--scan-unroll", type=int, default=1,
+                       help="layer-scan unroll; 12 is ~1.45x faster for "
+                            "full-model pretrain on v5e (BENCH.md)")
 
     d = sub.add_parser("pretrain", help="agent CE pretrain")
     train_common(d)

@@ -20,7 +20,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 BATCH = int(os.environ.get("RLMG_BENCH_BATCH", "256"))
 STEPS = int(os.environ.get("RLMG_BENCH_STEPS", "256"))
-PRETRAIN_BATCH = int(os.environ.get("RLMG_BENCH_PRETRAIN_BATCH", "64"))
+PRETRAIN_BATCH = int(os.environ.get("RLMG_BENCH_PRETRAIN_BATCH", "32"))
 PRETRAIN_SEQ = int(os.environ.get("RLMG_BENCH_PRETRAIN_SEQ", "512"))
 RUN_RL = os.environ.get("RLMG_BENCH_RL", "1") == "1"
 DQN_BUFFER = int(os.environ.get("RLMG_BENCH_DQN_BUFFER", "20000"))
@@ -108,7 +108,8 @@ def bench_pretrain():
         agent_train_step, optim)
 
     cfg = C.agent_config(
-        dtype=os.environ.get("RLMG_BENCH_TRAIN_DTYPE", "bfloat16"))
+        dtype=os.environ.get("RLMG_BENCH_TRAIN_DTYPE", "bfloat16"),
+        scan_unroll=12)  # unrolled layer loop: kills the scan-bwd DUS/remat
     params = lt.init_params(jax.random.PRNGKey(0), cfg)
     tx = optim.adam(1e-4, grad_clip=3.0)
     opt_state = tx.init(params)

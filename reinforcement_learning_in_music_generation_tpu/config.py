@@ -32,6 +32,7 @@ class LinearTransformerConfig:
     attn_eps: float = 1e-6         # linear-attention denominator epsilon
     attn_chunk: int = 128          # linear-attention chunk length
     attn_backend: Optional[str] = None  # 'pallas'/'xla'; None = auto/env
+    scan_unroll: int = 1           # layer-scan unroll for training fwd/bwd
     with_value_head: bool = False  # PPO actor adds one (ppo model.py:154-158)
     dtype: str = "float32"         # activation dtype ("bfloat16" for speed)
 

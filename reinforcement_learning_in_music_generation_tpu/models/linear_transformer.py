@@ -141,7 +141,11 @@ def forward_hidden(params: dict, cfg: LinearTransformerConfig, x: jax.Array,
 
     if layer_rngs is None:
         layer_rngs = jnp.zeros((cfg.n_layer, 2), jnp.uint32)
-    h, _ = jax.lax.scan(body, h, (params["layers"], layer_rngs))
+    # cfg.scan_unroll > 1 trades compile time for removing the scan-bwd
+    # dynamic-update-slice gradient stacking + remat copies (profiled at
+    # ~25% of the train step on v5e, BENCH.md round 2)
+    h, _ = jax.lax.scan(body, h, (params["layers"], layer_rngs),
+                        unroll=min(cfg.scan_unroll, cfg.n_layer))
     return cm.layernorm(params["final_ln"], h)
 
 

@@ -105,6 +105,29 @@ def test_multistep_lr_schedule():
     assert np.isclose(float(sched(45)), 0.0001)
 
 
+def test_scan_unroll_numerics_identical():
+    """cfg.scan_unroll is pure scheduling: losses and grads match the
+    rolled scan bit-for-bit-ish (same op order within a layer)."""
+    x, y, mask = dataset.synthetic_cp_dataset(4, 32, n_class=TINY.vocab_sizes)
+    import dataclasses
+    cfg_u = dataclasses.replace(TINY, scan_unroll=2)
+    params = lt.init_params(jax.random.PRNGKey(0), TINY)
+    bx, by = jnp.asarray(x), jnp.asarray(y)
+    bm = jnp.asarray(mask, jnp.float32)
+    l1 = lt.train_losses(params, TINY, bx, by, bm, deterministic=True)
+    l2 = lt.train_losses(params, cfg_u, bx, by, bm, deterministic=True)
+    np.testing.assert_allclose(np.asarray(l1), np.asarray(l2), rtol=1e-6)
+
+    g1 = jax.grad(lambda p: jnp.mean(lt.train_losses(
+        p, TINY, bx, by, bm, deterministic=True)))(params)
+    g2 = jax.grad(lambda p: jnp.mean(lt.train_losses(
+        p, cfg_u, bx, by, bm, deterministic=True)))(params)
+    for a, b in zip(jax.tree_util.tree_leaves(g1),
+                    jax.tree_util.tree_leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
+
+
 def test_pretrain_multistep_lr_wired(tmp_path):
     """PretrainConfig.lr_milestones (epochs) drives the optimizer lr —
     the my_pretrain MultiStepLR[500] path (my_pretrain.py:63-66), scaled
