@@ -217,8 +217,10 @@ def cmd_discrim_pretrain(args):
     from reinforcement_learning_in_music_generation_tpu.data import dataset
 
     vocab = (56, 135, 18, 3, 87, 18, 25) if args.with_type else (56, 135, 18, 87, 18, 25)
-    mcfg = C.discrim_lm_config(vocab) if args.with_type else C.discrim_lm_config(
-        vocab, emb_sizes=(128, 256, 64, 512, 256, 128))
+    mcfg = (C.discrim_lm_config(vocab, scan_unroll=args.scan_unroll)
+            if args.with_type else
+            C.discrim_lm_config(vocab, emb_sizes=(128, 256, 64, 512, 256, 128),
+                                scan_unroll=args.scan_unroll))
     x, y, mask = dataset.synthetic_cp_dataset(
         args.synthetic_songs, args.seq_len, n_class=vocab)
     params = lf.init_params(jax.random.PRNGKey(args.seed), mcfg)
@@ -238,8 +240,11 @@ def cmd_dqn_train(args):
     from reinforcement_learning_in_music_generation_tpu.utils import (
         MetricsBus, Saver, save_checkpoint, bi_loss_plot)
 
+    import dataclasses
     vocab = (56, 135, 18, 87, 18, 25)
     mcfg = C.agent_config(vocab, n_layer=args.layers)
+    # unrolled layer loop for the fwd+bwd update; rollout stays rolled
+    ucfg = dataclasses.replace(mcfg, scan_unroll=args.layers)
     wcfg = C.airl_discriminator_config(vocab, n_layer=max(1, args.layers - 2))
     cfg = C.DQNConfig(num_songs=args.songs, episodes=args.episodes,
                       buffer_size=args.buffer_size, batch_size=args.batch_size,
@@ -287,7 +292,7 @@ def cmd_dqn_train(args):
             batch = buffers.buffer_sample(agent_buf, r2, cfg.batch_size)
             ebatch = buffers.buffer_sample(expert_buf, r2b, cfg.batch_size)
             state, metrics = dqn.update(
-                state, mcfg, cfg, tx, batch,
+                state, ucfg, cfg, tx, batch,
                 {"state": ebatch["state"], "next_state": ebatch["next_state"],
                  "mask_next_state": ebatch["mask_next_state"]}, r3)
             updates += 1

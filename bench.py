@@ -148,8 +148,12 @@ def bench_dqn():
     from reinforcement_learning_in_music_generation_tpu.rl import (
         airl, buffers, dqn, env)
 
+    import dataclasses
     vocab = (56, 135, 18, 87, 18, 25)
     mcfg = C.agent_config(vocab)
+    # unrolled layer loop for the fwd+bwd update only (rollout stays
+    # rolled: small per-layer ops schedule better rolled)
+    ucfg = dataclasses.replace(mcfg, scan_unroll=12)
     wcfg = C.airl_discriminator_config(vocab)
     cfg = C.DQNConfig(buffer_size=DQN_BUFFER)
     acfg = C.AIRLConfig()
@@ -184,7 +188,7 @@ def bench_dqn():
         batch = buffers.buffer_sample(agent_buf, r1, cfg.batch_size)
         ebatch = buffers.buffer_sample(expert_buf, r2, cfg.batch_size)
         st, metrics = dqn.update(
-            state, mcfg, cfg, tx, batch,
+            state, ucfg, cfg, tx, batch,
             {"state": ebatch["state"], "next_state": ebatch["next_state"],
              "mask_next_state": ebatch["mask_next_state"]}, r3)
         return metrics["total"]
@@ -209,7 +213,7 @@ def bench_dqn():
         batch = buffers.buffer_sample(buf, r2, cfg.batch_size)
         ebatch = buffers.buffer_sample(expert_buf, r2b, cfg.batch_size)
         _, metrics = dqn.update(
-            state, mcfg, cfg, tx, batch,
+            state, ucfg, cfg, tx, batch,
             {"state": ebatch["state"], "next_state": ebatch["next_state"],
              "mask_next_state": ebatch["mask_next_state"]}, r3)
         return metrics["total"]

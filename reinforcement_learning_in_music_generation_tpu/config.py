@@ -68,6 +68,7 @@ class WindowTransformerConfig:
     max_pos: int = 2048
     attention_window: int = 50      # full window (w/2 on each side)
     position_embedding_type: str = "absolute"  # or "relative_key"
+    scan_unroll: int = 1            # layer-scan unroll for training fwd/bwd
     with_score_head: bool = True    # score_classifier MLP (AIRL_model.py:91-99)
     with_eval_heads: bool = False   # per-field scalar eval heads (IRL_model.py)
     dtype: str = "float32"

@@ -143,11 +143,13 @@ def forward(params: dict, cfg: WindowTransformerConfig, x: jax.Array,
         lp, lr = inp
         return layer(h, lp, lr), None
 
+    unroll = min(getattr(cfg, "scan_unroll", 1), cfg.n_layer)
     if rngs[0] is None:
         h, _ = jax.lax.scan(lambda h, lp: (layer(h, lp, None), None),
-                            h, params["layers"])
+                            h, params["layers"], unroll=unroll)
     else:
-        h, _ = jax.lax.scan(body, h, (params["layers"], jnp.stack(rngs)))
+        h, _ = jax.lax.scan(body, h, (params["layers"], jnp.stack(rngs)),
+                            unroll=unroll)
     return h
 
 
