@@ -113,7 +113,11 @@ def _fwd_xla(q, k, v, eps, chunk):
     # types match (plain jnp.zeros is 'unvarying' and scan rejects the mix)
     init = (jnp.einsum("bhje,bhjf->bhef", k[:, :, :1], v[:, :, :1]) * 0.0,
             jnp.sum(k[:, :, :1], axis=2) * 0.0)
-    _, (out, den) = jax.lax.scan(step, init, (qc, kc, vc))
+    # unrolled chunk loop: removes the scan's DUS stacking and lets XLA
+    # turn the chunk-major gathers into static slices (same trick as the
+    # layer-scan unroll, BENCH.md round 2)
+    _, (out, den) = jax.lax.scan(step, init, (qc, kc, vc),
+                                 unroll=min(nc, 8))
     out = out.transpose(1, 2, 0, 3, 4).reshape(b, h, nc * chunk, f)[:, :, :s0]
     den = den.transpose(1, 2, 0, 3).reshape(b, h, nc * chunk)[:, :, :s0]
     return out, den
@@ -156,7 +160,8 @@ def _bwd_xla(q, k, v, out, den, g, eps, chunk):
 
     init = (jnp.einsum("bhje,bhjf->bhef", k[:, :, :1], v[:, :, :1]) * 0.0,
             jnp.sum(k[:, :, :1], axis=2) * 0.0)
-    _, dqc = jax.lax.scan(step_fwd, init, (qc, kc, vc, dnc, ddc))
+    _, dqc = jax.lax.scan(step_fwd, init, (qc, kc, vc, dnc, ddc),
+                          unroll=min(nc, 8))
 
     # reverse pass: dk/dv need suffix sums G = sum_{i>=j} q_i (x) dnum_i, gz
     def step_rev(carry, inp):
@@ -174,7 +179,8 @@ def _bwd_xla(q, k, v, out, den, g, eps, chunk):
         gz_c = gz_c + jnp.einsum("bhi,bhie->bhe", ddb, qb)
         return (g_c, gz_c), (dk, dv)
 
-    _, (dkc, dvc) = jax.lax.scan(step_rev, init, (qc, kc, vc, dnc, ddc), reverse=True)
+    _, (dkc, dvc) = jax.lax.scan(step_rev, init, (qc, kc, vc, dnc, ddc),
+                                 reverse=True, unroll=min(nc, 8))
 
     def unchunk(x):
         return x.transpose(1, 2, 0, 3, 4).reshape(b, h, nc * chunk, x.shape[-1])[:, :, :s0]
