@@ -98,6 +98,43 @@ def test_dqn_update_runs_and_syncs_target():
     np.testing.assert_allclose(np.asarray(t0), np.asarray(e0))
 
 
+def test_dqn_update_sharded_matches_single_device():
+    """RL under the ('dp','tp') mesh: a dqn.update with the transition
+    batch sharded over dp and Megatron weight shardings reproduces the
+    single-device update loss (GSPMD inserts the collectives)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from reinforcement_learning_in_music_generation_tpu.parallel import (
+        make_mesh, shard_params)
+
+    state = dqn.init_state(jax.random.PRNGKey(0), TINY, DQN_CFG)
+    tx = dqn.make_optimizer(DQN_CFG)
+    x, y, mask = _song()
+    agent_ts, expert_ts = env.dqn_rollout_song(
+        state.eval_params, TINY, x, y, mask, episodes=4, n_states=10,
+        n_actions=5)
+    batch = dict(agent_ts)
+    ebatch = {"state": expert_ts["state"],
+              "next_state": expert_ts["next_state"],
+              "mask_next_state": expert_ts["mask_next_state"]}
+    _, ref = dqn.update(state, TINY, DQN_CFG, tx, batch, ebatch,
+                        jax.random.PRNGKey(1))
+
+    mesh = make_mesh(dp=4, tp=2)
+    sh_state = dqn.DQNState(
+        shard_params(mesh, state.eval_params),
+        shard_params(mesh, state.target_params),
+        tx.init(shard_params(mesh, state.eval_params)),
+        state.target_count)
+    dp = lambda v: jax.device_put(
+        v, NamedSharding(mesh, P(*(("dp",) + (None,) * (v.ndim - 1)))))
+    batch_s = {k: dp(v) for k, v in batch.items()}
+    ebatch_s = {k: dp(v) for k, v in ebatch.items()}
+    _, got = dqn.update(sh_state, TINY, DQN_CFG, tx, batch_s, ebatch_s,
+                        jax.random.PRNGKey(1))
+    np.testing.assert_allclose(float(got["total"]), float(ref["total"]),
+                               rtol=1e-4)
+
+
 def test_airl_disc_update_and_reward():
     acfg = C.AIRLConfig(epochs=1, batch_size=4)
     st = airl.init_state(jax.random.PRNGKey(0), TINY_W, acfg)
