@@ -143,7 +143,10 @@ def forward_hidden(params: dict, cfg: LinearTransformerConfig, x: jax.Array,
         layer_rngs = jnp.zeros((cfg.n_layer, 2), jnp.uint32)
     # cfg.scan_unroll > 1 trades compile time for removing the scan-bwd
     # dynamic-update-slice gradient stacking + remat copies (profiled at
-    # ~25% of the train step on v5e, BENCH.md round 2)
+    # ~25% of the train step on v5e, BENCH.md round 2).  A python loop
+    # over static layer slices was also tried at full unroll: identical
+    # speed (71.3 vs 71.9 ms/step) — the remaining DUS grad stacking costs
+    # the same as its pad/concat equivalent — so the scan form stays.
     h, _ = jax.lax.scan(body, h, (params["layers"], layer_rngs),
                         unroll=min(cfg.scan_unroll, cfg.n_layer))
     return cm.layernorm(params["final_ln"], h)
