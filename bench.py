@@ -77,7 +77,8 @@ def bench_decode():
         return sampler.generate_tokens(
             params, cfg, jax.random.PRNGKey(seed), init,
             max_tokens=STEPS, bar_cond=None,
-            fused=sampler.use_fused_decode())
+            fused=sampler.use_fused_decode(),
+            fused_sampling=sampler.use_fused_sampling())
 
     import numpy as np
     # Tunneled-platform timing protocol: the first post-warmup

@@ -53,11 +53,21 @@ def use_fused_decode() -> bool:
         return False
 
 
+def use_fused_sampling() -> bool:
+    """Fused all-fields sampler (ops/sampling.py:sample_fields_fused): one
+    padded sort-free chain replaces ~80 small per-field XLA ops in the
+    decode loop.  RLMG_FUSED_SAMPLING=0/1 overrides."""
+    env = os.environ.get("RLMG_FUSED_SAMPLING")
+    if env is not None:
+        return env == "1"
+    return True
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("cfg", "max_tokens", "bar_cond", "token_count",
                      "barbeat_field", "bar_token_id", "greedy", "settings",
-                     "fused"))
+                     "fused", "fused_sampling"))
 def generate_tokens(params, cfg: LinearTransformerConfig, rng: jax.Array,
                     init_tokens: jax.Array, *, max_tokens: int,
                     bar_cond: Optional[int] = None,
@@ -66,6 +76,7 @@ def generate_tokens(params, cfg: LinearTransformerConfig, rng: jax.Array,
                     greedy: bool = False,
                     settings: Tuple[smp.FieldSampling, ...] = tuple(smp.CP_SAMPLING),
                     fused: bool = False,
+                    fused_sampling: bool = False,
                     ) -> GenResult:
     """init_tokens (B, T0, n_fields) seeds the state (teacher-forced), then
     `max_tokens` sampled steps.  Returns seed+generated tokens.
@@ -108,10 +119,21 @@ def generate_tokens(params, cfg: LinearTransformerConfig, rng: jax.Array,
     init_bars = jnp.sum(init_tokens[..., barbeat_field] == bar_token_id,
                         axis=1).astype(jnp.int32)
 
+    if fused_sampling:
+        # one (D, sum V_f) head matmul + the fused sort-free sampler
+        names = cm.field_names(cfg.n_fields)
+        hw = jnp.concatenate([params["heads"][n]["w"] for n in names], axis=1)
+        hb = jnp.concatenate([params["heads"][n]["b"] for n in names])
+
     def step(carry, rng_t):
         h, state, bars, done = carry
-        logits = lt.forward_output(params, cfg, h)
-        tok = smp.sample_fields(rng_t, logits, settings, greedy=greedy)
+        if fused_sampling:
+            logits_cat = h @ hw + hb
+            tok = smp.sample_fields_fused(rng_t, logits_cat, cfg.vocab_sizes,
+                                          settings, greedy=greedy)
+        else:
+            logits = lt.forward_output(params, cfg, h)
+            tok = smp.sample_fields(rng_t, logits, settings, greedy=greedy)
         tok = jnp.where(done[:, None], jnp.zeros_like(tok), tok)
         is_bar = (tok[..., barbeat_field] == bar_token_id) & (~done)
         bars = bars + is_bar.astype(jnp.int32)
@@ -193,7 +215,7 @@ def generate_songs(params, cfg: LinearTransformerConfig,
         token_count=gen_cfg.token_count,
         greedy=gen_cfg.greedy,
         settings=tuple(smp.GREEDY) if gen_cfg.greedy else tuple(smp.CP_SAMPLING),
-        fused=use_fused_decode())
+        fused=use_fused_decode(), fused_sampling=use_fused_sampling())
     tokens = np.asarray(res.tokens)
     valid = np.asarray(res.valid)
     return [tokens[i][valid[i]] for i in range(b)]

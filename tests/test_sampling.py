@@ -74,3 +74,77 @@ def test_temperature_flattens_distribution():
     p5 = np.asarray(smp.softmax_with_temperature(logits, 5.0))
     assert p5[0] < p1[0]
     assert p5[1] > p1[1]
+
+# --- fused all-fields sampler (ops/sampling.py:sample_fields_fused) -------
+
+VOCAB = (56, 135, 18, 87, 18, 25)
+
+
+def _cat_logits(rng, batch):
+    return jnp.asarray(rng.normal(size=(batch, sum(VOCAB))).astype(np.float32))
+
+
+def test_fused_greedy_matches_per_field():
+    rng = np.random.default_rng(7)
+    cat = _cat_logits(rng, 16)
+    per_field = jnp.split(cat, np.cumsum(VOCAB)[:-1].tolist(), axis=-1)
+    a = smp.sample_fields(jax.random.PRNGKey(0), per_field, greedy=True)
+    b = smp.sample_fields_fused(jax.random.PRNGKey(0), cat, VOCAB, greedy=True)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_fused_matches_per_field_under_shared_uniform():
+    """Token-exact vs `sample` for the top_p fields when the inverse-CDF
+    uniform is shared (the two only differ by float summation order;
+    boundary flips are ~0 on random logits)."""
+    rng = np.random.default_rng(8)
+    batch = 64
+    cat = _cat_logits(rng, batch)
+    per_field = jnp.split(cat, np.cumsum(VOCAB)[:-1].tolist(), axis=-1)
+    key = jax.random.PRNGKey(3)
+    rngs = jax.random.split(key, 6)
+    # the uniforms `sample` will draw internally, per top_p field
+    us = [jax.random.uniform(r, (batch, 1))[:, 0] for r in rngs]
+    fused = np.asarray(smp.sample_fields_fused(
+        None, cat, VOCAB, smp.CP_SAMPLING,
+        uniforms=jnp.stack(us, axis=-1)))
+    n_cmp = 0
+    n_match = 0
+    for f, st in enumerate(smp.CP_SAMPLING):
+        if st.top_p is None:
+            continue
+        ref = np.asarray(smp.sample(rngs[f], per_field[f],
+                                    temperature=st.temperature,
+                                    top_p=st.top_p))
+        n_cmp += batch
+        n_match += int((ref == fused[:, f]).sum())
+    assert n_cmp == 4 * batch
+    assert n_match >= n_cmp - 2, (n_match, n_cmp)
+
+
+def test_fused_no_top_p_fields_respect_distribution():
+    """barbeat/velocity (no top_p) go through the inverse-CDF path; check
+    frequencies against the temperature softmax on a peaked distribution."""
+    logits = np.full((1, sum(VOCAB)), -40.0, np.float32)
+    # barbeat field (idx 2, offset 56+135): two live tokens 2:1
+    off = 56 + 135
+    logits[0, off + 3] = 1.0
+    logits[0, off + 5] = 1.0 - 1.2 * np.log(2.0)  # half as likely at t=1.2
+    cat = jnp.tile(jnp.asarray(logits), (4000, 1))
+    toks = np.asarray(smp.sample_fields_fused(
+        jax.random.PRNGKey(0), cat, VOCAB, smp.CP_SAMPLING))[:, 2]
+    counts = np.bincount(toks, minlength=18)
+    assert set(np.where(counts)[0]) <= {3, 5}
+    ratio = counts[3] / max(counts[5], 1)
+    assert 1.6 < ratio < 2.5, ratio
+
+
+def test_fused_respects_nucleus_support():
+    """top_p fields must never emit tokens outside the nucleus."""
+    logits = np.full((1, sum(VOCAB)), -30.0, np.float32)
+    logits[0, 0] = 5.0      # tempo: one dominant token, p=0.9 keeps it only
+    logits[0, 1] = 4.0
+    cat = jnp.tile(jnp.asarray(logits), (500, 1))
+    toks = np.asarray(smp.sample_fields_fused(
+        jax.random.PRNGKey(1), cat, VOCAB, smp.CP_SAMPLING))[:, 0]
+    assert set(toks.tolist()) <= {0, 1}

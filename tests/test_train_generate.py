@@ -160,3 +160,51 @@ def test_cli_flags_parse():
     assert a.compat_forward_returns is False
     a = p.parse_args(["my-pretrain", "--lr-milestones", "500,700"])
     assert a.lr_milestones == "500,700"
+
+
+def test_generate_fused_sampling_greedy_matches():
+    """fused_sampling=True must produce the identical greedy token stream
+    (argmax over the concatenated-head logits == per-field argmax)."""
+    import jax
+    from reinforcement_learning_in_music_generation_tpu import config as C
+    from reinforcement_learning_in_music_generation_tpu.generate import sampler
+    from reinforcement_learning_in_music_generation_tpu.models import (
+        linear_transformer as lt)
+    import jax.numpy as jnp
+    import numpy as np
+    cfg = C.agent_config(n_layer=2, d_model=64, n_head=2, d_inner=128,
+                         max_len=64)
+    params = lt.init_params(jax.random.PRNGKey(0), cfg)
+    init = jnp.tile(jnp.asarray(sampler.CP_SEED, jnp.int32)[None, None, :],
+                    (2, 1, 1))
+    a = sampler.generate_tokens(params, cfg, jax.random.PRNGKey(1), init,
+                                max_tokens=16, greedy=True,
+                                settings=tuple(sampler.smp.GREEDY),
+                                fused_sampling=False)
+    b = sampler.generate_tokens(params, cfg, jax.random.PRNGKey(1), init,
+                                max_tokens=16, greedy=True,
+                                settings=tuple(sampler.smp.GREEDY),
+                                fused_sampling=True)
+    np.testing.assert_array_equal(np.asarray(a.tokens), np.asarray(b.tokens))
+
+
+def test_generate_fused_sampling_stochastic_valid():
+    """Stochastic fused-sampling decode emits in-vocab tokens for every
+    field (the RNG stream differs from the per-field path by design)."""
+    import jax
+    from reinforcement_learning_in_music_generation_tpu import config as C
+    from reinforcement_learning_in_music_generation_tpu.generate import sampler
+    from reinforcement_learning_in_music_generation_tpu.models import (
+        linear_transformer as lt)
+    import jax.numpy as jnp
+    import numpy as np
+    cfg = C.agent_config(n_layer=2, d_model=64, n_head=2, d_inner=128,
+                         max_len=64)
+    params = lt.init_params(jax.random.PRNGKey(0), cfg)
+    init = jnp.tile(jnp.asarray(sampler.CP_SEED, jnp.int32)[None, None, :],
+                    (3, 1, 1))
+    r = sampler.generate_tokens(params, cfg, jax.random.PRNGKey(2), init,
+                                max_tokens=24, fused_sampling=True)
+    toks = np.asarray(r.tokens)
+    for f, v in enumerate(cfg.vocab_sizes):
+        assert toks[..., f].min() >= 0 and toks[..., f].max() < v
