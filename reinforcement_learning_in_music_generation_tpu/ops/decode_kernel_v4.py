@@ -23,6 +23,7 @@ otherwise.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Tuple
 
 import jax
@@ -73,10 +74,12 @@ def _pair_kernel(h0_ref, qkvw_ref, qkvb_ref, wow_ref, wob_ref,
     # from sublane-resident data is NOT lowerable), packed along lanes
     upd = jnp.concatenate([k0[:, :, None] * v0[:, None, :],
                            k1[:, :, None] * v1[:, None, :]], axis=-1)
-    s_new = s_ref[0, 0] + upd                                # (BB, E, 2E)
-    s_out_ref[0, 0] = s_new
-    z_new = z_ref[0, 0] + k01                                # (BB, 2E)
-    z_out_ref[0, 0] = z_new
+    # state may be stored sub-f32 (RLMG_DECODE_STATE_DTYPE=bfloat16 halves
+    # the dominant HBM traffic); accumulate in f32, round only on store
+    s_new = s_ref[0, 0].astype(jnp.float32) + upd            # (BB, E, 2E)
+    s_out_ref[0, 0] = s_new.astype(s_out_ref.dtype)
+    z_new = z_ref[0, 0].astype(jnp.float32) + k01            # (BB, 2E)
+    z_out_ref[0, 0] = z_new.astype(z_out_ref.dtype)
 
     num = jnp.concatenate(
         [jnp.sum(q0[:, :, None] * s_new[:, :, :e], axis=1),
@@ -163,6 +166,9 @@ def fused_stack_step_v4(v4p: dict, h0: jax.Array, s: jax.Array,
         if b > 64 and b % cand == 0:
             bb = cand
             break
+    bb_env = int(os.environ.get("RLMG_V4_BB", "0"))
+    if bb_env and b % bb_env == 0:
+        bb = bb_env
     n_bblk = b // bb
     kernel = functools.partial(_pair_kernel, n_layer=L, n_pair=P, d_head=e,
                                eps=eps, bb=bb, n_bblk=n_bblk)
@@ -217,12 +223,18 @@ def fused_stack_step_v4(v4p: dict, h0: jax.Array, s: jax.Array,
         out_specs=out_specs,
         out_shape=[
             jax.ShapeDtypeStruct((b, d), h0.dtype),
-            jax.ShapeDtypeStruct(s.shape, jnp.float32),
-            jax.ShapeDtypeStruct(z.shape, jnp.float32),
+            jax.ShapeDtypeStruct(s.shape, s.dtype),
+            jax.ShapeDtypeStruct(z.shape, z.dtype),
         ],
         scratch_shapes=scratch,
         input_output_aliases={len(args) - 2: 1, len(args) - 1: 2},
         interpret=interpret,
+        # raise the compiler's 16MB scoped-VMEM default (v5e has 128MiB
+        # physical VMEM) so larger batch blocks fit: bb=64 at B=512 needs
+        # ~20MB of double-buffered state + FFN weights and halves the
+        # program count, which is the binding cost at large batch
+        compiler_params=(pltpu.CompilerParams(vmem_limit_bytes=100 << 20)
+                         if (pltpu and not interpret) else None),
     )(*args)
     return h_out, s_out, z_out
 
@@ -240,12 +252,22 @@ jax.tree_util.register_pytree_node(
     lambda _, ch: PairState(*ch))
 
 
-def init_pair_state(cfg, batch: int) -> PairState:
+def state_dtype():
+    """Decode recurrent-state storage dtype.  f32 by default (bit-matches
+    the XLA decode path); RLMG_DECODE_STATE_DTYPE=bfloat16 halves the
+    dominant HBM traffic at large batch — accumulation stays f32 in-kernel,
+    only the stored state is rounded, so the error is a per-step rounding
+    of the prefix sums (measured drift: see BENCH.md)."""
+    return jnp.dtype(os.environ.get("RLMG_DECODE_STATE_DTYPE", "float32"))
+
+
+def init_pair_state(cfg, batch: int, dtype=None) -> PairState:
     e = cfg.d_head
     P = cfg.n_head // 2
+    dt = state_dtype() if dtype is None else dtype
     return PairState(
-        jnp.zeros((cfg.n_layer, P, batch, e, 2 * e), jnp.float32),
-        jnp.zeros((cfg.n_layer, P, batch, 2 * e), jnp.float32),
+        jnp.zeros((cfg.n_layer, P, batch, e, 2 * e), dt),
+        jnp.zeros((cfg.n_layer, P, batch, 2 * e), dt),
         jnp.zeros((), jnp.int32))
 
 

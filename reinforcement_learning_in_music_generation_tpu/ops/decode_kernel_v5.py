@@ -272,7 +272,10 @@ def _v5_kernel(seed_ref, tok0_ref, pe_ref, memb_ref, binr_ref, whp_ref,
         def _layer_head():
             pltpu.make_async_copy(f1w_hbm.at[l], f1_scr, sem1).start()
             pltpu.make_async_copy(f2w_hbm.at[l], f2_scr, sem2).start()
-            qkv = jnp.dot(h_scr[...], qkvw_ref[0],
+            # matmul inputs in the weights' dtype (bf16 runs the MXU at 4x
+            # its f32 rate and matches the XLA decode path, whose h carries
+            # the params dtype); accumulation stays f32
+            qkv = jnp.dot(h_scr[...].astype(qkvw_ref.dtype), qkvw_ref[0],
                           preferred_element_type=jnp.float32) + qkvb_ref[0, 0]
             qkv_scr[...] = jnp.concatenate(
                 [_phi(qkv[:, :2 * d]), qkv[:, 2 * d:]], axis=-1)
@@ -289,10 +292,12 @@ def _v5_kernel(seed_ref, tok0_ref, pe_ref, memb_ref, binr_ref, whp_ref,
         upd = jnp.concatenate(
             [ed(k[:, i * e:(i + 1) * e], -1) * ed(v[:, i * e:(i + 1) * e], 1)
              for i in range(n_head)], axis=-1)            # (bb, E, D)
-        s_new = s_ref[0] + upd
-        s_out_ref[0] = s_new
-        z_new = z_ref[0] + k
-        z_out_ref[0] = z_new
+        # state may be stored sub-f32 (halves the dominant HBM traffic);
+        # accumulate in f32, round only on store
+        s_new = s_ref[0].astype(jnp.float32) + upd
+        s_out_ref[0] = s_new.astype(s_out_ref.dtype)
+        z_new = z_ref[0].astype(jnp.float32) + k
+        z_out_ref[0] = z_new.astype(z_out_ref.dtype)
         zf_scr[rows, :] = z_new
 
         num_scr[rows, :] = jnp.concatenate(
@@ -317,16 +322,16 @@ def _v5_kernel(seed_ref, tok0_ref, pe_ref, memb_ref, binr_ref, whp_ref,
             den = jnp.dot(den_h, expand,
                           preferred_element_type=jnp.float32)
             att = num_scr[...] / (den + eps)
-            ao = jnp.dot(att, wow_ref[0],
+            ao = jnp.dot(att.astype(wow_ref.dtype), wow_ref[0],
                          preferred_element_type=jnp.float32)
             h1 = _ln(h_scr[...] + ao + wob_ref[0, 0], l1s_ref[0, 0],
                      l1b_ref[0, 0])
             pltpu.make_async_copy(f1w_hbm.at[l], f1_scr, sem1).wait()
             pltpu.make_async_copy(f2w_hbm.at[l], f2_scr, sem2).wait()
-            y = jnp.dot(h1, f1_scr[...],
+            y = jnp.dot(h1.astype(f1_scr.dtype), f1_scr[...],
                         preferred_element_type=jnp.float32) + f1b_ref[0, 0]
             y = _gelu_exact(y)
-            y = jnp.dot(y, f2_scr[...],
+            y = jnp.dot(y.astype(f2_scr.dtype), f2_scr[...],
                         preferred_element_type=jnp.float32) + f2b_ref[0, 0]
             h_scr[...] = _ln(h1 + y, l2s_ref[0, 0], l2b_ref[0, 0])
 
@@ -360,7 +365,7 @@ def _v5_kernel(seed_ref, tok0_ref, pe_ref, memb_ref, binr_ref, whp_ref,
 
     # ---- heads + in-kernel sampling on the (nf*B, VF_PAD) layout ----
     hf = _ln(h_scr[...], fls_ref[0], flb_ref[0])
-    logits = jnp.dot(hf, whp_ref[...],
+    logits = jnp.dot(hf.astype(whp_ref.dtype), whp_ref[...],
                      preferred_element_type=jnp.float32) + bhp_ref[...]
     x = jnp.concatenate(
         [logits[:, f * VF_PAD:(f + 1) * VF_PAD] * (1.0 / temps[f])
@@ -437,8 +442,8 @@ def fused_decode_v5(v5p: V5Params, tok0: jax.Array, s5: jax.Array,
         ],
         out_shape=[
             jax.ShapeDtypeStruct((T, b, nf), jnp.int32),
-            jax.ShapeDtypeStruct(s5.shape, jnp.float32),
-            jax.ShapeDtypeStruct(z5.shape, jnp.float32),
+            jax.ShapeDtypeStruct(s5.shape, s5.dtype),
+            jax.ShapeDtypeStruct(z5.shape, z5.dtype),
         ],
         scratch_shapes=[
             pltpu.VMEM((b, d), jnp.float32),                  # h
@@ -453,6 +458,10 @@ def fused_decode_v5(v5p: V5Params, tok0: jax.Array, s5: jax.Array,
             pltpu.SemaphoreType.DMA(()),
         ],
         input_output_aliases={21: 1, 22: 2},
+        # the 16MB scoped-VMEM default is what made B>=128 fail to compile
+        # (the helper reports it as a bare subprocess crash); v5e has
+        # 128MiB physical VMEM
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 << 20),
         )(jnp.asarray([seed], jnp.int32).reshape(1,), tok0,
           pe_rows.reshape(pe_rows.shape[0], 1, -1),
           v5p.memb, v5p.binr, v5p.whp, v5p.bhp, v5p.fls, v5p.flb,

@@ -85,3 +85,30 @@ def test_erf_poly_is_f32_exact():
     err = jnp.max(jnp.abs(_erf(x) - jax.lax.erf(x)))
     # 1.5e-7 analytic bound + f32 rounding => ~4e-7 measured
     assert float(err) <= 1e-6, float(err)
+
+
+def test_v4_bf16_state_tracks_f32_interpret():
+    """RLMG_DECODE_STATE_DTYPE=bfloat16 path: accumulation stays f32 in the
+    kernel, only the stored state is rounded — hidden outputs must track
+    the f32-state run within bf16 rounding noise over a short rollout."""
+    from reinforcement_learning_in_music_generation_tpu.ops import (
+        decode_kernel_v4 as dk4)
+
+    params = lt.init_params(jax.random.PRNGKey(0), CFG)
+    v4p = dk4.make_v4_params(params, CFG, dtype=jnp.float32)
+    b = 4
+    rng = np.random.default_rng(2)
+    toks = rng.integers(0, 8, size=(6, b, 6)).astype(np.int32)
+
+    st32 = dk4.init_pair_state(CFG, b, dtype=jnp.float32)
+    st16 = dk4.init_pair_state(CFG, b, dtype=jnp.bfloat16)
+    assert st16.s.dtype == jnp.bfloat16
+    for t in range(toks.shape[0]):
+        tok = jnp.asarray(toks[t])
+        h32, st32 = dk4.decode_step_v4(params, v4p, CFG, tok, st32,
+                                       interpret=True)
+        h16, st16 = dk4.decode_step_v4(params, v4p, CFG, tok, st16,
+                                       interpret=True)
+        assert st16.s.dtype == jnp.bfloat16
+        np.testing.assert_allclose(np.asarray(h16), np.asarray(h32),
+                                   rtol=0.05, atol=0.05)
