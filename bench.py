@@ -74,6 +74,12 @@ def bench_decode():
                     (BATCH, 1, 1))
 
     def run(seed):
+        if sampler.use_persistent_decode():
+            # v6 persistent whole-sequence kernel: the entire STEPS-token
+            # loop is pallas_calls of `chunk` tokens (BENCH.md round 2)
+            return sampler.generate_tokens_persistent(
+                params, cfg, jax.random.PRNGKey(seed), init,
+                max_tokens=STEPS, bar_cond=None, chunk=128)
         return sampler.generate_tokens(
             params, cfg, jax.random.PRNGKey(seed), init,
             max_tokens=STEPS, bar_cond=None,

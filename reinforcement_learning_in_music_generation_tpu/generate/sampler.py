@@ -63,6 +63,179 @@ def use_fused_sampling() -> bool:
     return True
 
 
+def use_persistent_decode() -> bool:
+    """The v6 persistent whole-sequence kernel (ops/decode_kernel_v6): the
+    ENTIRE T-token loop is one pallas_call on the transposed network —
+    2.4x the per-step v4 path at batch 512 (BENCH.md).  TPU-only;
+    RLMG_PERSISTENT_DECODE=0/1 overrides the platform auto-detection."""
+    env = os.environ.get("RLMG_PERSISTENT_DECODE")
+    if env is not None:
+        return env == "1"
+    try:
+        return jax.default_backend() in ("tpu", "axon")
+    except Exception:
+        return False
+
+
+def decode_state_dtype():
+    """Storage dtype for the recurrent decode state in the persistent
+    kernel.  bfloat16 by default — the linear-attention state is the
+    KV-cache analog, and sub-f32 cache storage is standard serving
+    practice; it halves the dominant HBM stream (301K vs 179K tokens/sec
+    at batch 512, BENCH.md).  Accumulation stays f32 in-kernel; only the
+    stored prefix sums are rounded.  Set RLMG_DECODE_STATE_DTYPE=float32
+    for bit-parity with the XLA/scan decode path."""
+    return jnp.dtype(os.environ.get("RLMG_DECODE_STATE_DTYPE", "bfloat16"))
+
+
+@functools.lru_cache(maxsize=16)
+def _persistent_pack_fn(cfg, dtype_str):
+    from ..models import common as cm
+    from ..ops import decode_kernel_v6 as dk6
+
+    @jax.jit
+    def pack(params):
+        pe = cm.sinusoidal_table(cfg.max_len, cfg.d_model, jnp.float32)
+        return dk6.make_v6_params(params, cfg, pe,
+                                  dtype=jnp.dtype(dtype_str))
+    return pack
+
+
+@functools.lru_cache(maxsize=16)
+def _persistent_seed_fn(cfg, dtype_str, state_dtype_str):
+    """Teacher-forced seeding through the XLA recurrent path + packing
+    into the v6 transposed state layout."""
+    from ..models import common as cm
+    from ..ops import decode_kernel_v6 as dk6
+    dtype = jnp.dtype(dtype_str)
+    sdt = jnp.dtype(state_dtype_str)
+
+    @jax.jit
+    def seed(params, init_tokens, state):
+        pe = cm.sinusoidal_table(cfg.max_len, cfg.d_model, dtype)
+        b = init_tokens.shape[0]
+
+        def body(carry, tok):
+            h, st = carry
+            h, st = lt.decode_step(params, cfg, tok, st, pe_table=pe)
+            return (h, st), None
+
+        h0 = jnp.zeros((b, cfg.d_model), dtype)
+        (h, st), _ = jax.lax.scan(body, (h0, state),
+                                  init_tokens.transpose(1, 0, 2))
+        s6, z6 = dk6.pack_state_v6(st.s.astype(jnp.float32).astype(sdt),
+                                   st.z.astype(jnp.float32).astype(sdt))
+        return st, s6, z6
+    return seed
+
+
+@functools.lru_cache(maxsize=32)
+def _persistent_chunk_fn(cfg, n, greedy, temps, topps):
+    from ..ops import decode_kernel_v6 as dk6
+
+    @jax.jit
+    def chunk(v6p, tokT, s6, z6, seed, t_start):
+        # t_start is traced (dynamic pe slice): chunks share one compile
+        return dk6.fused_decode_v6(
+            v6p, tokT, s6, z6, t_start, seed, n_head=cfg.n_head,
+            max_tokens=n, vocab_sizes=cfg.vocab_sizes, temps=temps,
+            topps=topps, greedy=greedy, eps=cfg.attn_eps)
+    return chunk
+
+
+def generate_tokens_persistent(params, cfg: LinearTransformerConfig,
+                               rng: jax.Array, init_tokens: jax.Array, *,
+                               max_tokens: int,
+                               bar_cond: Optional[int] = None,
+                               token_count: Optional[int] = None,
+                               barbeat_field: int = 2, bar_token_id: int = 1,
+                               greedy: bool = False,
+                               settings: Tuple[smp.FieldSampling, ...] =
+                               tuple(smp.CP_SAMPLING),
+                               chunk: int = 128) -> GenResult:
+    """generate_tokens via the v6 persistent kernel (ops/decode_kernel_v6).
+
+    The sequential token loop never leaves the chip: each pallas_call
+    decodes up to `chunk` tokens; the host only checks the bar-count stop
+    between chunks (the scan path checks it every token inside one XLA
+    while_loop — same stop semantics, coarser exit granularity).  Seed
+    tokens are teacher-forced through the XLA decode_step first, then the
+    state is packed into the v6 transposed layout.
+
+    Numerics: sampling settings and stop rules match generate_tokens;
+    the stochastic RNG stream is the kernel's on-core PRNG (distribution-
+    equal, different draws), greedy is prefix-exact modulo documented
+    sub-ulp accumulation-order ties (decode_kernel_v6 docstring)."""
+    from ..ops import decode_kernel_v6 as dk6
+
+    b, t0_len, nf = init_tokens.shape
+    dtype = params["in_linear"]["w"].dtype
+    sdt = decode_state_dtype()
+
+    # all jitted pieces are module-level LRU caches keyed on static config
+    # (params/v6p are TRACED args) — defining them per call would pay a
+    # compile-cache reload (~45s through the tunnel) on every invocation
+    v6p = _persistent_pack_fn(cfg, str(dtype))(params)
+    state = lt.init_decode_state(cfg, b)
+    state, s6, z6 = _persistent_seed_fn(cfg, str(dtype), str(sdt))(
+        params, init_tokens, state)
+    tokT = init_tokens[:, -1, :].astype(jnp.int32).T      # (nf, B)
+
+    temps = tuple(s.temperature for s in settings)
+    topps = tuple(s.top_p if s.top_p is not None else float("inf")
+                  for s in settings)
+    seed0 = int(jax.random.randint(rng, (), 0, 2 ** 31 - 1))
+
+    def chunk_fn(tokT, s6, z6, seed, t_start, n):
+        return _persistent_chunk_fn(cfg, n, greedy, temps, topps)(
+            v6p, tokT, s6, z6, seed, t_start)
+
+    init_bars = jnp.sum(init_tokens[..., barbeat_field] == bar_token_id,
+                        axis=1).astype(jnp.int32)
+
+    pieces = []
+    done_t = 0
+    while done_t < max_tokens:
+        n = min(chunk, max_tokens - done_t)
+        toksT, s6, z6 = chunk_fn(tokT, s6, z6,
+                                 jnp.asarray(seed0 + done_t, jnp.int32),
+                                 jnp.asarray(t0_len + done_t, jnp.int32), n)
+        pieces.append(toksT)                              # (n, nf, B)
+        tokT = toksT[-1]
+        done_t += n
+        if bar_cond is not None:
+            bars_so_far = init_bars + sum(
+                jnp.sum(p[:, barbeat_field, :] == bar_token_id, axis=0)
+                for p in pieces)
+            if bool(jnp.all(bars_so_far >= bar_cond)):
+                break
+
+    toks = jnp.concatenate(pieces, axis=0).transpose(2, 0, 1)  # (B, T, nf)
+    T = toks.shape[1]
+
+    # ---- post-hoc validity/bars with the scan path's exact semantics:
+    # a token is valid while the song had < bar_cond bars BEFORE it; the
+    # token that reaches bar_cond is kept ----
+    is_bar = (toks[..., barbeat_field] == bar_token_id)
+    bars_after = init_bars[:, None] + jnp.cumsum(is_bar, axis=1)
+    bars_before = bars_after - is_bar
+    if bar_cond is not None:
+        valid = bars_before < bar_cond
+        n_bars = jnp.minimum(bars_after[:, -1],
+                             jnp.maximum(init_bars, bar_cond))
+        toks = jnp.where(valid[:, :, None], toks, 0)
+    else:
+        valid = jnp.ones((b, T), bool)
+        n_bars = bars_after[:, -1]
+    if token_count is not None:
+        idx = jnp.arange(T)[None, :]
+        valid = valid & (idx < token_count)
+
+    tokens = jnp.concatenate([init_tokens.astype(jnp.int32), toks], axis=1)
+    valid = jnp.concatenate([jnp.ones((b, t0_len), bool), valid], axis=1)
+    return GenResult(tokens=tokens, valid=valid, n_bars=n_bars)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("cfg", "max_tokens", "bar_cond", "token_count",
@@ -208,14 +381,19 @@ def generate_songs(params, cfg: LinearTransformerConfig,
         params = shard_params(mesh, params)
         dp_spec = P("dp", None, None) if b % mesh.shape["dp"] == 0 else P()
         init_tokens = jax.device_put(init_tokens, NamedSharding(mesh, dp_spec))
-    res = generate_tokens(
-        params, cfg, rng, init_tokens,
+    kwargs = dict(
         max_tokens=gen_cfg.max_tokens,
         bar_cond=gen_cfg.bar_production if gen_cfg.token_count is None else None,
         token_count=gen_cfg.token_count,
         greedy=gen_cfg.greedy,
-        settings=tuple(smp.GREEDY) if gen_cfg.greedy else tuple(smp.CP_SAMPLING),
-        fused=use_fused_decode(), fused_sampling=use_fused_sampling())
+        settings=tuple(smp.GREEDY) if gen_cfg.greedy else tuple(smp.CP_SAMPLING))
+    if mesh is None and use_persistent_decode():
+        res = generate_tokens_persistent(params, cfg, rng, init_tokens,
+                                         **kwargs)
+    else:
+        res = generate_tokens(
+            params, cfg, rng, init_tokens, **kwargs,
+            fused=use_fused_decode(), fused_sampling=use_fused_sampling())
     tokens = np.asarray(res.tokens)
     valid = np.asarray(res.valid)
     return [tokens[i][valid[i]] for i in range(b)]

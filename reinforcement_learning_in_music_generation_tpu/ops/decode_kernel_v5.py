@@ -31,21 +31,22 @@ accumulation-order differences (fused qkv/out matmuls vs separate ones)
 flip argmax near-ties — measured, not a logic bug; the stochastic RNG
 stream differs from the XLA sampler by design (distribution-equal).
 
-STATUS (round 2, measured on v5e): compiles and runs at B<=64
-(bb=8: B=32 -> 56.3K tok/s, B=64 -> 75.9K tok/s).  B>=128 — where the
-single-launch design would pay off — reproducibly crashes the tunnel's
-remote compile helper (HTTP 500 `tpu_compile_helper subprocess exit 1`),
-the same platform ceiling that caps pretrain at B=64.  At the batches
-that DO compile the production v4-kernel path is faster (125.3K tok/s at
-B=512), so v5 is kept as an experimental kernel + CPU-tested math seams
-(tests/test_decode_kernel_v5.py) and is NOT wired into the sampler.
-The bandwidth floor at B=256 would be ~875MB/token (state read+write
-800MB + weights 75MB) ~= 1.07ms at 819GB/s.
+STATUS (round 2, measured on v5e): the early 'B>=128 compile-helper
+crash' was a silent scoped-VMEM overflow — with
+CompilerParams(vmem_limit_bytes=100MB) v5 runs at every batch
+(B=512: 126.7K tok/s, sampling included, matching the v4 path).  The
+remaining wall is the VPU cost of the batch-major state math (in-situ
+ablations via RLMG_V5_ABLATE: skeleton 2783us, +matmuls 2839us, +chunk
+math 4046us at B=512) — which ops/decode_kernel_v6.py removes by
+transposing the whole network (301.6K tok/s, the production path).  v5
+is kept for the ablation instrumentation and as the batch-major
+reference implementation.
 """
 
 from __future__ import annotations
 
 import functools
+import os
 from typing import NamedTuple, Optional, Sequence, Tuple
 
 import jax
@@ -62,6 +63,12 @@ from .linear_attention import DEFAULT_EPS
 
 VF_PAD = 256          # per-field lane stride in the padded heads layout
 NEG = -1e30
+
+# Perf-ablation knob (profiling only — output is garbage when set):
+#   "state"  -> inner pipeline copies state through without attention math
+#   "attn"   -> state math runs but num/den path skipped
+# Used by scripts/profile_decode_v5.py to attribute the step time.
+_ABLATE = os.environ.get("RLMG_V5_ABLATE", "")
 
 
 # ---------------------------------------------------------------------------
@@ -268,6 +275,11 @@ def _v5_kernel(seed_ref, tok0_ref, pe_ref, memb_ref, binr_ref, whp_ref,
         cnt_scr[0] = c + 1
         rows = pl.dslice(nb * bb, bb)
 
+        if _ABLATE == "state":        # pipeline/DMA skeleton only
+            s_out_ref[0] = s_ref[0]
+            z_out_ref[0] = z_ref[0]
+            return
+
         @pl.when(nb == 0)
         def _layer_head():
             pltpu.make_async_copy(f1w_hbm.at[l], f1_scr, sem1).start()
@@ -280,30 +292,36 @@ def _v5_kernel(seed_ref, tok0_ref, pe_ref, memb_ref, binr_ref, whp_ref,
             qkv_scr[...] = jnp.concatenate(
                 [_phi(qkv[:, :2 * d]), qkv[:, 2 * d:]], axis=-1)
 
-        # one full-lane load then static slices (a dynamic-sublane +
-        # offset-lane load would lower to an unsupported gather)
-        qkv_rows = qkv_scr[rows, :]
-        q = qkv_rows[:, :d]
-        k = qkv_rows[:, d:2 * d]
-        v = qkv_rows[:, 2 * d:]
-        # expand_dims (pure reshape) instead of None-indexing: jnp's
-        # newaxis-getitem lowers via gather, which Mosaic rejects in-kernel
-        ed = jnp.expand_dims
-        upd = jnp.concatenate(
-            [ed(k[:, i * e:(i + 1) * e], -1) * ed(v[:, i * e:(i + 1) * e], 1)
-             for i in range(n_head)], axis=-1)            # (bb, E, D)
-        # state may be stored sub-f32 (halves the dominant HBM traffic);
-        # accumulate in f32, round only on store
-        s_new = s_ref[0].astype(jnp.float32) + upd
-        s_out_ref[0] = s_new.astype(s_out_ref.dtype)
-        z_new = z_ref[0].astype(jnp.float32) + k
-        z_out_ref[0] = z_new.astype(z_out_ref.dtype)
-        zf_scr[rows, :] = z_new
+        if _ABLATE == "attn":         # matmuls + DMA, no chunk state math
+            s_out_ref[0] = s_ref[0]
+            z_out_ref[0] = z_ref[0]
+        else:
+            # one full-lane load then static slices (a dynamic-sublane +
+            # offset-lane load would lower to an unsupported gather)
+            qkv_rows = qkv_scr[rows, :]
+            q = qkv_rows[:, :d]
+            k = qkv_rows[:, d:2 * d]
+            v = qkv_rows[:, 2 * d:]
+            # expand_dims (pure reshape) instead of None-indexing: jnp's
+            # newaxis-getitem lowers via gather, which Mosaic rejects
+            # in-kernel
+            ed = jnp.expand_dims
+            upd = jnp.concatenate(
+                [ed(k[:, i * e:(i + 1) * e], -1)
+                 * ed(v[:, i * e:(i + 1) * e], 1)
+                 for i in range(n_head)], axis=-1)        # (bb, E, D)
+            # state may be stored sub-f32 (halves the dominant HBM
+            # traffic); accumulate in f32, round only on store
+            s_new = s_ref[0].astype(jnp.float32) + upd
+            s_out_ref[0] = s_new.astype(s_out_ref.dtype)
+            z_new = z_ref[0].astype(jnp.float32) + k
+            z_out_ref[0] = z_new.astype(z_out_ref.dtype)
+            zf_scr[rows, :] = z_new
 
-        num_scr[rows, :] = jnp.concatenate(
-            [jnp.sum(ed(q[:, i * e:(i + 1) * e], -1)
-                     * s_new[:, :, i * e:(i + 1) * e], axis=1)
-             for i in range(n_head)], axis=-1)            # (bb, D)
+            num_scr[rows, :] = jnp.concatenate(
+                [jnp.sum(ed(q[:, i * e:(i + 1) * e], -1)
+                         * s_new[:, :, i * e:(i + 1) * e], axis=1)
+                 for i in range(n_head)], axis=-1)        # (bb, D)
 
         @pl.when(nb == n_bblk - 1)
         def _layer_tail():
@@ -352,8 +370,18 @@ def _v5_kernel(seed_ref, tok0_ref, pe_ref, memb_ref, binr_ref, whp_ref,
             small((1, 1, d), lambda l, nb: (l, 0, 0)),            # f2b
             small((1, d, 3 * d), lambda l, nb: (l, 0, 0)),        # qkvw
             small((1, d, d), lambda l, nb: (l, 0, 0)),            # wow
-            small((1, bb, e, d), lambda l, nb: (l, nb, 0, 0)),    # s
-            small((1, bb, d), lambda l, nb: (l, nb, 0)),          # z
+            # deep-buffered state stream: the head/tail chunks of each
+            # layer stall on full-batch MXU matmuls (~50-150us); with only
+            # 2 buffers those stalls serialize against the state DMA
+            # (measured additive: 2783us skeleton + 1263us compute at
+            # B=512).  buffer_count=4 + lookahead lets the DMA engines run
+            # ahead across the layer boundary during the stalls.
+            pl.BlockSpec((1, bb, e, d), lambda l, nb: (l, nb, 0, 0),
+                         pipeline_mode=pl.Buffered(
+                             buffer_count=4, use_lookahead=True)),   # s
+            pl.BlockSpec((1, bb, d), lambda l, nb: (l, nb, 0),
+                         pipeline_mode=pl.Buffered(
+                             buffer_count=4, use_lookahead=True)),   # z
         ],
         out_specs=[
             small((1, bb, e, d), lambda l, nb: (l, nb, 0, 0)),
@@ -457,7 +485,9 @@ def fused_decode_v5(v5p: V5Params, tok0: jax.Array, s5: jax.Array,
             pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),
         ],
-        input_output_aliases={21: 1, 22: 2},
+        input_output_aliases=(
+            {} if os.environ.get("RLMG_V5_NOALIAS") == "1"
+            else {21: 1, 22: 2}),
         # the 16MB scoped-VMEM default is what made B>=128 fail to compile
         # (the helper reports it as a bare subprocess crash); v5e has
         # 128MiB physical VMEM
