@@ -18,7 +18,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-BATCH = int(os.environ.get("RLMG_BENCH_BATCH", "512"))
+BATCH = int(os.environ.get("RLMG_BENCH_BATCH", "1024"))
 STEPS = int(os.environ.get("RLMG_BENCH_STEPS", "256"))
 PRETRAIN_BATCH = int(os.environ.get("RLMG_BENCH_PRETRAIN_BATCH", "32"))
 PRETRAIN_SEQ = int(os.environ.get("RLMG_BENCH_PRETRAIN_SEQ", "512"))

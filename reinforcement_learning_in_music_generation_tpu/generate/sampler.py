@@ -168,7 +168,14 @@ def generate_tokens_persistent(params, cfg: LinearTransformerConfig,
     sub-ulp accumulation-order ties (decode_kernel_v6 docstring)."""
     from ..ops import decode_kernel_v6 as dk6
 
-    b, t0_len, nf = init_tokens.shape
+    b_real, t0_len, nf = init_tokens.shape
+    # batch rides the LANE dimension in the transposed kernel, so it must
+    # be a multiple of the 128-lane tile; pad with copies of song 0 and
+    # slice the results back
+    b = -(-b_real // 128) * 128
+    if b != b_real:
+        pad = jnp.tile(init_tokens[:1], (b - b_real, 1, 1))
+        init_tokens = jnp.concatenate([init_tokens, pad], axis=0)
     dtype = params["in_linear"]["w"].dtype
     sdt = decode_state_dtype()
 
@@ -207,7 +214,7 @@ def generate_tokens_persistent(params, cfg: LinearTransformerConfig,
             bars_so_far = init_bars + sum(
                 jnp.sum(p[:, barbeat_field, :] == bar_token_id, axis=0)
                 for p in pieces)
-            if bool(jnp.all(bars_so_far >= bar_cond)):
+            if bool(jnp.all(bars_so_far[:b_real] >= bar_cond)):
                 break
 
     toks = jnp.concatenate(pieces, axis=0).transpose(2, 0, 1)  # (B, T, nf)
@@ -233,7 +240,8 @@ def generate_tokens_persistent(params, cfg: LinearTransformerConfig,
 
     tokens = jnp.concatenate([init_tokens.astype(jnp.int32), toks], axis=1)
     valid = jnp.concatenate([jnp.ones((b, t0_len), bool), valid], axis=1)
-    return GenResult(tokens=tokens, valid=valid, n_bars=n_bars)
+    return GenResult(tokens=tokens[:b_real], valid=valid[:b_real],
+                     n_bars=n_bars[:b_real])
 
 
 @functools.partial(

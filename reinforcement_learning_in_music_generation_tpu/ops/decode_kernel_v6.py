@@ -423,7 +423,7 @@ def fused_decode_v6(v6p: V6Params, tok0T: jax.Array, s6: jax.Array,
             pltpu.SemaphoreType.DMA(()),
         ],
         input_output_aliases={21: 1, 22: 2},
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 << 20),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=110 << 20),
         )(jnp.asarray([seed], jnp.int32).reshape(1,), tok0T, peT128,
           v6p.membT, v6p.binrT, v6p.whpT, v6p.bhpT, v6p.flsT, v6p.flbT,
           v6p.qkvbT, v6p.wobT, v6p.l1sT, v6p.l1bT, v6p.l2sT, v6p.l2bT,
