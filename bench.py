@@ -189,18 +189,28 @@ def bench_dqn():
         buffers.buffer_init(cfg.buffer_size, buffers.expert_field_specs(
             cfg.n_states, cfg.n_actions, cfg.n_features)), tile(expert_ts))
 
-    # update-only: one dqn.update at batch 30
-    def update_only(seed):
-        r1, r2, r3 = jax.random.split(jax.random.PRNGKey(seed), 3)
-        batch = buffers.buffer_sample(agent_buf, r1, cfg.batch_size)
-        ebatch = buffers.buffer_sample(expert_buf, r2, cfg.batch_size)
-        st, metrics = dqn.update(
-            state, ucfg, cfg, tx, batch,
-            {"state": ebatch["state"], "next_state": ebatch["next_state"],
-             "mask_next_state": ebatch["mask_next_state"]}, r3)
+    # update-only: K dqn.updates at batch 30 chained through the agent
+    # state (same protocol as bench_pretrain — per-call fetches through
+    # the tunnel cost ~10-40ms and this is the steady-state rate a real
+    # training loop sees)
+    K = 10
+
+    def chained_updates(seed):
+        st = state
+        metrics = None
+        for i in range(K):
+            r1, r2, r3 = jax.random.split(
+                jax.random.PRNGKey(seed * 1000 + i), 3)
+            batch = buffers.buffer_sample(agent_buf, r1, cfg.batch_size)
+            ebatch = buffers.buffer_sample(expert_buf, r2, cfg.batch_size)
+            st, metrics = dqn.update(
+                st, ucfg, cfg, tx, batch,
+                {"state": ebatch["state"],
+                 "next_state": ebatch["next_state"],
+                 "mask_next_state": ebatch["mask_next_state"]}, r3)
         return metrics["total"]
 
-    update_s = _timeit(update_only)
+    update_s = _timeit(chained_updates) / K
 
     # composite steady-state epoch: rollout -> buffer re-score by the
     # discriminator (train=False: reference trains disc once) -> sample
@@ -267,13 +277,20 @@ def bench_ppo():
     returns = ppo.calculate_returns(agent_ts["reward"][:, 0], cfg.discount)
     adv = ppo.calculate_advantages(returns, agent_ts["value"])
 
+    # chain 3 full update_policy rounds through the PPO state (one fetch;
+    # see the DQN chained protocol note)
+    KP = 3
+
     def update(seed):
-        _, metrics = ppo.update_policy(
-            state, cfgs, cfg, txs, agent_ts, expert_ts, adv, returns,
-            jax.random.PRNGKey(seed))
+        st = state
+        metrics = None
+        for i in range(KP):
+            st, metrics = ppo.update_policy(
+                st, cfgs, cfg, txs, agent_ts, expert_ts, adv, returns,
+                jax.random.PRNGKey(seed * 100 + i))
         return metrics["actor_loss"]
 
-    update_s = _timeit(update)
+    update_s = _timeit(update) / KP
     return rollout_s, cfg.ppo_steps / update_s
 
 
