@@ -33,6 +33,10 @@ class LinearTransformerConfig:
     attn_chunk: int = 128          # linear-attention chunk length
     attn_backend: Optional[str] = None  # 'pallas'/'xla'; None = auto/env
     scan_unroll: int = 1           # layer-scan unroll for training fwd/bwd
+    remat: bool = False            # jax.checkpoint each layer: trades ~30%
+                                   # recompute for O(L*B*S*D) activation
+                                   # memory — enables batch >= 128 training
+                                   # (B=128 fwd+bwd needs 17.5GB un-rematted)
     with_value_head: bool = False  # PPO actor adds one (ppo model.py:154-158)
     dtype: str = "float32"         # activation dtype ("bfloat16" for speed)
 

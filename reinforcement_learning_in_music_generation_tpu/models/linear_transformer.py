@@ -137,7 +137,14 @@ def forward_hidden(params: dict, cfg: LinearTransformerConfig, x: jax.Array,
 
     def body(h, inp):
         lp, lr = inp
-        return _layer_forward(cfg, h, lp, lr, deterministic, attn_backend), None
+        f = lambda h_, lp_, lr_: _layer_forward(cfg, h_, lp_, lr_,
+                                                deterministic, attn_backend)
+        if cfg.remat:
+            # per-layer rematerialization: only layer INPUTS are saved for
+            # the backward pass (un-rematted B=128 fwd+bwd needs 17.5GB
+            # of intermediates vs the chip's 15.75GB HBM)
+            f = jax.checkpoint(f)
+        return f(h, lp, lr), None
 
     if layer_rngs is None:
         layer_rngs = jnp.zeros((cfg.n_layer, 2), jnp.uint32)

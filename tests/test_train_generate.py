@@ -208,3 +208,38 @@ def test_generate_fused_sampling_stochastic_valid():
     toks = np.asarray(r.tokens)
     for f, v in enumerate(cfg.vocab_sizes):
         assert toks[..., f].min() >= 0 and toks[..., f].max() < v
+
+
+def test_remat_train_step_matches_nonremat():
+    """cfg.remat=True only changes what is SAVED for backward: the loss is
+    bit-identical; gradients match to f32 rounding (XLA fuses the
+    recomputed forward differently than the saved one)."""
+    import dataclasses
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from reinforcement_learning_in_music_generation_tpu import config as C
+    from reinforcement_learning_in_music_generation_tpu.data import dataset
+    from reinforcement_learning_in_music_generation_tpu.models import (
+        linear_transformer as lt)
+    from reinforcement_learning_in_music_generation_tpu.ops import losses
+
+    cfg = C.agent_config(n_layer=2, d_model=64, n_head=2, d_inner=128,
+                         max_len=64)
+    params = lt.init_params(jax.random.PRNGKey(0), cfg)
+    x, y, mask = dataset.synthetic_cp_dataset(2, 32, n_class=cfg.vocab_sizes)
+    x, y = jnp.asarray(x), jnp.asarray(y)
+    mask = jnp.asarray(mask, jnp.float32)
+
+    def loss_fn(p, c):
+        return jnp.mean(lt.train_losses(p, c, x, y, mask,
+                                        deterministic=True))
+
+    l0, g0 = jax.value_and_grad(loss_fn)(params, cfg)
+    l1, g1 = jax.value_and_grad(loss_fn)(
+        params, dataclasses.replace(cfg, remat=True))
+    np.testing.assert_array_equal(np.asarray(l0), np.asarray(l1))
+    for a, b in zip(jax.tree_util.tree_leaves(g0),
+                    jax.tree_util.tree_leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-6)
