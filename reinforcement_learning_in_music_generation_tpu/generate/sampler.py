@@ -217,31 +217,46 @@ def generate_tokens_persistent(params, cfg: LinearTransformerConfig,
             if bool(jnp.all(bars_so_far[:b_real] >= bar_cond)):
                 break
 
-    toks = jnp.concatenate(pieces, axis=0).transpose(2, 0, 1)  # (B, T, nf)
-    T = toks.shape[1]
+    # one jitted assembly call (each separate dispatch pays ~10-40ms of
+    # tunnel latency; this was a measurable slice of short generations)
+    res = _persistent_assemble_fn(
+        bar_cond, token_count, barbeat_field, bar_token_id, b_real, t0_len,
+        len(pieces))(init_tokens, init_bars, tuple(pieces))
+    return res
 
-    # ---- post-hoc validity/bars with the scan path's exact semantics:
-    # a token is valid while the song had < bar_cond bars BEFORE it; the
-    # token that reaches bar_cond is kept ----
-    is_bar = (toks[..., barbeat_field] == bar_token_id)
-    bars_after = init_bars[:, None] + jnp.cumsum(is_bar, axis=1)
-    bars_before = bars_after - is_bar
-    if bar_cond is not None:
-        valid = bars_before < bar_cond
-        n_bars = jnp.minimum(bars_after[:, -1],
-                             jnp.maximum(init_bars, bar_cond))
-        toks = jnp.where(valid[:, :, None], toks, 0)
-    else:
-        valid = jnp.ones((b, T), bool)
-        n_bars = bars_after[:, -1]
-    if token_count is not None:
-        idx = jnp.arange(T)[None, :]
-        valid = valid & (idx < token_count)
 
-    tokens = jnp.concatenate([init_tokens.astype(jnp.int32), toks], axis=1)
-    valid = jnp.concatenate([jnp.ones((b, t0_len), bool), valid], axis=1)
-    return GenResult(tokens=tokens[:b_real], valid=valid[:b_real],
-                     n_bars=n_bars[:b_real])
+@functools.lru_cache(maxsize=32)
+def _persistent_assemble_fn(bar_cond, token_count, barbeat_field,
+                            bar_token_id, b_real, t0_len, n_pieces):
+    """Post-hoc validity/bars with the scan path's exact semantics: a
+    token is valid while the song had < bar_cond bars BEFORE it; the token
+    that reaches bar_cond is kept."""
+
+    @jax.jit
+    def assemble(init_tokens, init_bars, pieces):
+        toks = jnp.concatenate(pieces, axis=0).transpose(2, 0, 1)
+        b, T = toks.shape[0], toks.shape[1]
+        is_bar = (toks[..., barbeat_field] == bar_token_id)
+        bars_after = init_bars[:, None] + jnp.cumsum(is_bar, axis=1)
+        bars_before = bars_after - is_bar
+        if bar_cond is not None:
+            valid = bars_before < bar_cond
+            n_bars = jnp.minimum(bars_after[:, -1],
+                                 jnp.maximum(init_bars, bar_cond))
+            toks = jnp.where(valid[:, :, None], toks, 0)
+        else:
+            valid = jnp.ones((b, T), bool)
+            n_bars = bars_after[:, -1]
+        if token_count is not None:
+            idx = jnp.arange(T)[None, :]
+            valid = valid & (idx < token_count)
+        tokens = jnp.concatenate([init_tokens.astype(jnp.int32), toks],
+                                 axis=1)
+        valid = jnp.concatenate([jnp.ones((b, t0_len), bool), valid],
+                                axis=1)
+        return GenResult(tokens=tokens[:b_real], valid=valid[:b_real],
+                         n_bars=n_bars[:b_real])
+    return assemble
 
 
 @functools.partial(
