@@ -237,6 +237,8 @@ def _wa_fwd(q, k, v, mask, window, block, interpret):
         out_shape=[jax.ShapeDtypeStruct((b * h, sp, d), q.dtype),
                    jax.ShapeDtypeStruct((b * h, sp, 1), jnp.float32)],
         interpret=interpret,
+        compiler_params=(pltpu.CompilerParams(vmem_limit_bytes=100 << 20)
+                         if (pltpu and not interpret) else None),
     )(qf, kf, kf, kf, vf, vf, vf, mf, mf, mf)
     out4 = out.reshape(b, h, sp, d)[:, :, :s]
     return out4, (q, k, v, mask, out4, lse)
@@ -268,6 +270,8 @@ def _wa_bwd(window, block, interpret, block_kv, res, g):
         out_specs=qkv_spec,
         out_shape=jax.ShapeDtypeStruct((b * h, sp, d), q.dtype),
         interpret=interpret,
+        compiler_params=(pltpu.CompilerParams(vmem_limit_bytes=100 << 20)
+                         if (pltpu and not interpret) else None),
     )(qf, kf, kf, kf, vf, vf, vf, mf, mf, mf, lse, dof, drf)
 
     nb_kv = sp // blk_kv
@@ -284,6 +288,8 @@ def _wa_bwd(window, block, interpret, block_kv, res, g):
         out_shape=[jax.ShapeDtypeStruct((b * h, sp, d), k.dtype),
                    jax.ShapeDtypeStruct((b * h, sp, d), v.dtype)],
         interpret=interpret,
+        compiler_params=(pltpu.CompilerParams(vmem_limit_bytes=100 << 20)
+                         if (pltpu and not interpret) else None),
     )(kf, vf, mf, qf, qf, qf, dof, dof, dof,
       lse, lse, lse, drf, drf, drf)
 
