@@ -184,14 +184,19 @@ def generate_tokens_persistent(params, cfg: LinearTransformerConfig,
     # compile-cache reload (~45s through the tunnel) on every invocation
     v6p = _persistent_pack_fn(cfg, str(dtype))(params)
     state = lt.init_decode_state(cfg, b)
+    # kernel contract (parity-verified by scripts/profile_decode_v6.py):
+    # the state is BEFORE tok0T — the kernel feeds tok0T itself at
+    # position t_start and emits its successor.  So teacher-force all
+    # init tokens EXCEPT the last, and hand the kernel the last one.
     state, s6, z6 = _persistent_seed_fn(cfg, str(dtype), str(sdt))(
-        params, init_tokens, state)
+        params, init_tokens[:, :-1, :], state)
     tokT = init_tokens[:, -1, :].astype(jnp.int32).T      # (nf, B)
 
     temps = tuple(s.temperature for s in settings)
     topps = tuple(s.top_p if s.top_p is not None else float("inf")
                   for s in settings)
-    seed0 = int(jax.random.randint(rng, (), 0, 2 ** 31 - 1))
+    # mask so seed0 + done_t can never overflow int32
+    seed0 = int(jax.random.randint(rng, (), 0, 2 ** 31 - 1)) & 0x3FFFFFFF
 
     def chunk_fn(tokT, s6, z6, seed, t_start, n):
         return _persistent_chunk_fn(cfg, n, greedy, temps, topps)(
@@ -202,18 +207,21 @@ def generate_tokens_persistent(params, cfg: LinearTransformerConfig,
 
     pieces = []
     done_t = 0
+    bars_so_far = init_bars
     while done_t < max_tokens:
         n = min(chunk, max_tokens - done_t)
-        toksT, s6, z6 = chunk_fn(tokT, s6, z6,
-                                 jnp.asarray(seed0 + done_t, jnp.int32),
-                                 jnp.asarray(t0_len + done_t, jnp.int32), n)
+        # t_start = the position tok0T of this chunk is FED at: the last
+        # init token sits at t0_len-1, each chunk then advances by n
+        toksT, s6, z6 = chunk_fn(
+            tokT, s6, z6, jnp.asarray(seed0 + done_t, jnp.int32),
+            jnp.asarray(t0_len - 1 + done_t, jnp.int32), n)
         pieces.append(toksT)                              # (n, nf, B)
         tokT = toksT[-1]
         done_t += n
         if bar_cond is not None:
-            bars_so_far = init_bars + sum(
-                jnp.sum(p[:, barbeat_field, :] == bar_token_id, axis=0)
-                for p in pieces)
+            # running total: one reduction per chunk, not per-piece re-sums
+            bars_so_far = bars_so_far + jnp.sum(
+                toksT[:, barbeat_field, :] == bar_token_id, axis=0)
             if bool(jnp.all(bars_so_far[:b_real] >= bar_cond)):
                 break
 

@@ -430,10 +430,11 @@ def fused_decode_v5(v5p: V5Params, tok0: jax.Array, s5: jax.Array,
                     greedy: bool = False, eps: float = DEFAULT_EPS):
     """Decode `max_tokens` tokens in one pallas_call.
 
-    tok0 (B, nf) int32: the last already-fed token (its successor is the
-    first emitted token).  s5/z5: packed state AFTER tok0 was fed.
-    pe_rows (T, D) f32: positional rows for steps t0..t0+T-1.
-    Returns (tokens (T, B, nf) int32, s5', z5')."""
+    Contract: tok0 (B, nf) int32 is the next token TO BE FED — the kernel
+    embeds it, updates the state with it, and emits its successor.  s5/z5
+    is the packed state BEFORE tok0; pe_rows (T, D) f32 are the positional
+    rows for the T fed tokens.  Returns (tokens (T, B, nf) int32, s5',
+    z5'); the last emitted token is sampled but not yet fed."""
     b, nf = tok0.shape
     L, _, e, d = s5.shape
     di = v5p.f1w.shape[-1]

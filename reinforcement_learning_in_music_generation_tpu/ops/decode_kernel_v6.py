@@ -51,10 +51,8 @@ except Exception:  # pragma: no cover
     pltpu = None
 
 from .decode_kernel_v3 import _gelu_exact, _phi
+from .decode_kernel_v5 import NEG, VF_PAD, gumbel_from_bits
 from .linear_attention import DEFAULT_EPS
-
-VF_PAD = 256
-NEG = -1e30
 
 
 def _lnT(x, scale_col, bias_col, eps=1e-5):
@@ -185,10 +183,8 @@ def argmax_first_sub(score: jax.Array) -> jax.Array:
     return jnp.min(jnp.where(score == m, iota, n), axis=1, keepdims=True)
 
 
-def gumbel_from_bits(bits: jax.Array) -> jax.Array:
-    u = ((bits >> jnp.uint32(8)).astype(jnp.int32).astype(jnp.float32)
-         * (2.0 ** -24) + (2.0 ** -25))
-    return -jnp.log(-jnp.log(u))
+# gumbel_from_bits, VF_PAD, NEG are shared with decode_kernel_v5 (the
+# Mosaic uint32 workaround lives in one place)
 
 
 def _v6_kernel(seed_ref, tok0T_ref, peT_ref, membT_ref, binrT_ref, whpT_ref,
@@ -364,9 +360,14 @@ def fused_decode_v6(v6p: V6Params, tok0T: jax.Array, s6: jax.Array,
                     greedy: bool = False, eps: float = DEFAULT_EPS):
     """Decode `max_tokens` tokens in one pallas_call (transposed network).
 
-    tok0T (nf, B) int32: the last already-fed token; s6/z6: packed state
-    AFTER tok0T was fed; t0: position index of the first emitted token
-    (selects pe columns).  Returns (tokensT (T, nf, B) int32, s6', z6')."""
+    Contract (parity-verified by scripts/profile_decode_v6.py): tok0T
+    (nf, B) int32 is the next token TO BE FED — the kernel embeds it,
+    updates the state with it, and emits its successor.  s6/z6 is the
+    packed state BEFORE tok0T; t0 is the position tok0T is fed at
+    (selects its pe column).  Returns (tokensT (T, nf, B) int32, s6', z6')
+    where s6' reflects tok0T plus the first T-1 emitted tokens (the last
+    emitted token is sampled but not yet fed — pass it as the next call's
+    tok0T)."""
     nf, b = tok0T.shape
     L, d, e, _ = s6.shape
     di = v6p.f1wT.shape[1]
