@@ -105,21 +105,33 @@ def critic_config(vocab_sizes=(49, 19, 19, 89, 67, 25), **kw) -> LinearTransform
 
 
 def airl_discriminator_config(vocab_sizes=(56, 135, 18, 87, 18, 25), **kw) -> WindowTransformerConfig:
-    """dqn_policy/AIRL_model.py:78-90 (10L, window 50, relative_key)."""
+    """dqn_policy/AIRL_model.py:78-90 (10L, window 50).
+
+    The reference config *requests* ``position_embedding_type="relative_key"``
+    (AIRL_model.py:85), but HF's LongformerSelfAttention never reads that
+    setting — the model it builds applies absolute learned positions only
+    (see models/longformer.py module docstring).  The faithful default is
+    therefore "absolute"; pass position_embedding_type="relative_key" to get
+    a *real* relative-score term the reference never computes."""
     kw.setdefault("n_layer", 10)
     kw.setdefault("attention_window", 50)
     kw.setdefault("max_pos", 2048)
-    kw.setdefault("position_embedding_type", "relative_key")
+    kw.setdefault("position_embedding_type", "absolute")
     kw.setdefault("with_score_head", True)
     return WindowTransformerConfig(vocab_sizes=tuple(vocab_sizes), **kw)
 
 
 def ppo_reward_config(vocab_sizes=(49, 19, 19, 89, 67, 25), **kw) -> WindowTransformerConfig:
-    """ppo_policy/model.py:400-451 reward model (12L, window 512)."""
+    """ppo_policy/model.py:400-451 reward model (12L, window 512).
+
+    Defaults to absolute positions for the same reason as
+    airl_discriminator_config: HF Longformer ignores the reference's
+    "relative_key" request (ppo_policy/model.py:448), so absolute is the
+    behavior the reference actually ran."""
     kw.setdefault("n_layer", 12)
     kw.setdefault("attention_window", 512)
     kw.setdefault("max_pos", 2048)
-    kw.setdefault("position_embedding_type", "relative_key")
+    kw.setdefault("position_embedding_type", "absolute")
     kw.setdefault("with_score_head", False)
     kw.setdefault("with_eval_heads", True)
     return WindowTransformerConfig(vocab_sizes=tuple(vocab_sizes), **kw)

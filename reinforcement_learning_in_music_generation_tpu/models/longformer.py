@@ -110,8 +110,21 @@ def forward(params: dict, cfg: WindowTransformerConfig, x: jax.Array,
     """x (B, S, n_fields) int -> sequence output (B, S, D).
 
     AIRL_model.py:101-118 (embeddings -> proj -> longformer)."""
-    b, s, _ = x.shape
     embs = cm.embed_fields(params["emb"], x)
+    return forward_from_embeddings(params, cfg, embs, attention_mask,
+                                   deterministic=deterministic, rng=rng)
+
+
+def forward_from_embeddings(params: dict, cfg: WindowTransformerConfig,
+                            embs: jax.Array,
+                            attention_mask: Optional[jax.Array] = None, *,
+                            deterministic: bool = True,
+                            rng: Optional[jax.Array] = None) -> jax.Array:
+    """Trunk entry taking pre-computed field-concat embeddings
+    (B, S, sum(emb_sizes)) — HF's `inputs_embeds` path (AIRL_model.py:104).
+    Used by `forward` and by rl/airl.py's WGAN gradient penalty, which needs
+    gradients w.r.t. a continuous interpolation of embeddings."""
+    b, s = embs.shape[0], embs.shape[1]
     h = cm.linear(params["proj"], embs)
     h = h + params["pos_emb"][None, :s]
     h = cm.layernorm(params["emb_ln"], h)
@@ -174,6 +187,20 @@ def _batchnorm(p: dict, state: dict, x: jax.Array, train: bool,
     return y, new_state
 
 
+def _score_head(params: dict, state: dict, h: jax.Array, train: bool
+                ) -> Tuple[jax.Array, dict]:
+    """score_classifier MLP (AIRL_model.py:91-99): mean-pool -> Linear ->
+    BatchNorm -> tanh -> Linear -> tanh -> Linear -> sigmoid."""
+    pooled = jnp.mean(h, axis=1)
+    sc = params["score"]
+    y = cm.linear(sc["l1"], pooled)
+    y, new_state = _batchnorm(sc["bn"], state, y, train)
+    y = jnp.tanh(y)
+    y = jnp.tanh(cm.linear(sc["l2"], y))
+    y = jax.nn.sigmoid(cm.linear_scalar(sc["l3"], y))[..., None]
+    return y, new_state
+
+
 def score_forward(params: dict, cfg: WindowTransformerConfig, x: jax.Array,
                   attention_mask: Optional[jax.Array], state: dict, *,
                   train: bool = False, deterministic: bool = True,
@@ -183,14 +210,21 @@ def score_forward(params: dict, cfg: WindowTransformerConfig, x: jax.Array,
     (AIRL_model.py:101-122). Returns (score (B,1), new bn state)."""
     h = forward(params, cfg, x, attention_mask,
                 deterministic=deterministic, rng=rng)
-    pooled = jnp.mean(h, axis=1)
-    sc = params["score"]
-    y = cm.linear(sc["l1"], pooled)
-    y, new_state = _batchnorm(sc["bn"], state, y, train)
-    y = jnp.tanh(y)
-    y = jnp.tanh(cm.linear(sc["l2"], y))
-    y = jax.nn.sigmoid(cm.linear_scalar(sc["l3"], y))[..., None]
-    return y, new_state
+    return _score_head(params, state, h, train)
+
+
+def score_from_embeddings(params: dict, cfg: WindowTransformerConfig,
+                          embs: jax.Array,
+                          attention_mask: Optional[jax.Array], state: dict, *,
+                          train: bool = False, deterministic: bool = True,
+                          rng: Optional[jax.Array] = None
+                          ) -> Tuple[jax.Array, dict]:
+    """score_forward on pre-computed embeddings — the differentiable entry
+    rl/airl.py's WGAN gradient penalty needs (AIRL.py:93-118 interpolates in
+    input space; token ids are discrete, so we interpolate embeddings)."""
+    h = forward_from_embeddings(params, cfg, embs, attention_mask,
+                                deterministic=deterministic, rng=rng)
+    return _score_head(params, state, h, train)
 
 
 def token_logits(params: dict, cfg: WindowTransformerConfig, x: jax.Array,

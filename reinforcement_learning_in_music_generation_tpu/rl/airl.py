@@ -150,7 +150,9 @@ def gradient_penalty(state: AIRLState, mcfg: WindowTransformerConfig,
     """WGAN-GP on interpolated embeddings — the reference defines this but
     never calls it and marks it '# Error #' (AIRL.py:93-118); provided here
     working: interpolation happens in embedding space (token ids are
-    discrete), gradient taken w.r.t. the interpolated embedding."""
+    discrete), gradient taken w.r.t. the interpolated embedding.  The score
+    path is lf.score_from_embeddings — the same trunk score_forward uses, so
+    it cannot silently diverge from the discriminator."""
     from ..models import common as cm
 
     eta = jax.random.uniform(rng, (expert_states.shape[0], 1, 1))
@@ -159,32 +161,10 @@ def gradient_penalty(state: AIRLState, mcfg: WindowTransformerConfig,
     inter = eta * e_emb + (1.0 - eta) * a_emb
 
     def score_of_emb(emb):
-        h = cm.linear(state.params["proj"], emb)
-        h = h + state.params["pos_emb"][None, :h.shape[1]]
-        h = cm.layernorm(state.params["emb_ln"], h)
-        # reuse trunk layers via lf.forward on embeddings: inline scan
-        def body(hh, lp):
-            b, s, _ = hh.shape
-            q = cm.linear(lp["wq"], hh).reshape(b, s, mcfg.n_head, mcfg.d_head).transpose(0, 2, 1, 3)
-            k = cm.linear(lp["wk"], hh).reshape(b, s, mcfg.n_head, mcfg.d_head).transpose(0, 2, 1, 3)
-            v = cm.linear(lp["wv"], hh).reshape(b, s, mcfg.n_head, mcfg.d_head).transpose(0, 2, 1, 3)
-            from ..ops.window_attention import window_attention
-            att = window_attention(q, k, v, masks, window=mcfg.attention_window,
-                                   rel_emb=state.params.get("rel_emb"))
-            att = att.transpose(0, 2, 1, 3).reshape(b, s, mcfg.d_model)
-            hh = cm.layernorm(lp["ln1"], hh + cm.linear(lp["wo"], att))
-            y = jax.nn.gelu(cm.linear(lp["ffn1"], hh), approximate=False)
-            hh = cm.layernorm(lp["ln2"], hh + cm.linear(lp["ffn2"], y))
-            return hh, None
-        h, _ = jax.lax.scan(body, h, state.params["layers"])
-        pooled = jnp.mean(h, axis=1)
-        sc = state.params["score"]
-        y = cm.linear(sc["l1"], pooled)
-        y = (y - state.bn_state["bn_mean"]) * jax.lax.rsqrt(
-            state.bn_state["bn_var"] + 1e-5) * sc["bn"]["scale"] + sc["bn"]["bias"]
-        y = jnp.tanh(y)
-        y = jnp.tanh(cm.linear(sc["l2"], y))
-        return jax.nn.sigmoid(cm.linear_scalar(sc["l3"], y)).sum()
+        score, _ = lf.score_from_embeddings(
+            state.params, mcfg, emb, masks, state.bn_state,
+            train=False, deterministic=True)
+        return score.sum()
 
     grads = jax.grad(score_of_emb)(inter)
     norms = jnp.sqrt(jnp.sum(grads ** 2, axis=(1, 2)) + 1e-12)

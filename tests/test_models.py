@@ -148,3 +148,30 @@ def test_fused_decode_matches_plain():
     for a, b in zip(lg1, lg2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-5, atol=2e-5)
+
+
+def test_longformer_preset_positions_absolute():
+    """VERDICT r2: HF's LongformerSelfAttention ignores the reference's
+    position_embedding_type="relative_key" request (AIRL_model.py:85), so the
+    faithful preset default is "absolute"; relative_key is an explicit
+    opt-in that allocates (and uses) a real rel_emb table."""
+    import reinforcement_learning_in_music_generation_tpu.config as cfg_mod
+    assert cfg_mod.airl_discriminator_config().position_embedding_type == "absolute"
+    assert cfg_mod.ppo_reward_config().position_embedding_type == "absolute"
+    assert cfg_mod.discrim_lm_config().position_embedding_type == "absolute"
+
+    base = dict(vocab_sizes=SMALL.vocab_sizes, emb_sizes=(8,) * 6, d_model=16,
+                n_layer=1, n_head=2, d_inner=32, max_pos=64,
+                attention_window=4, with_score_head=False)
+    cfg_abs = C.WindowTransformerConfig(**base)
+    cfg_rel = C.WindowTransformerConfig(
+        position_embedding_type="relative_key", **base)
+    p_abs = lf.init_params(jax.random.PRNGKey(0), cfg_abs)
+    p_rel = lf.init_params(jax.random.PRNGKey(0), cfg_rel)
+    assert "rel_emb" not in p_abs and "rel_emb" in p_rel
+    # the opt-in actually changes the forward pass
+    x = rand_tokens(jax.random.PRNGKey(1), 1, 12, cfg_abs.vocab_sizes)
+    h_abs = lf.forward(p_abs, cfg_abs, x)
+    p_rel_same_trunk = dict(p_abs, rel_emb=p_rel["rel_emb"])
+    h_rel = lf.forward(p_rel_same_trunk, cfg_rel, x)
+    assert not np.allclose(np.asarray(h_abs), np.asarray(h_rel))

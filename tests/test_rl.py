@@ -199,3 +199,22 @@ def test_ppo_rollout_and_update():
     a0 = jax.tree_util.tree_leaves(state.actor_params)[0]
     a1 = jax.tree_util.tree_leaves(st2.actor_params)[0]
     assert not np.allclose(np.asarray(a0), np.asarray(a1))
+
+
+def test_gradient_penalty_uses_score_trunk():
+    """VERDICT r2: the WGAN-GP path must route through the same trunk as
+    score_forward (no inline duplicate).  score_from_embeddings(embed(x))
+    must equal score_forward(x), and the penalty must be a finite scalar."""
+    from reinforcement_learning_in_music_generation_tpu.models import common as cm
+    acfg = C.AIRLConfig(epochs=1, batch_size=4)
+    st = airl.init_state(jax.random.PRNGKey(0), TINY_W, acfg)
+    x = jax.random.randint(jax.random.PRNGKey(1), (3, 10, 6), 0, 8)
+    masks = jnp.ones((3, 10))
+    embs = cm.embed_fields(st.params["emb"], x)
+    s_emb, _ = lf.score_from_embeddings(st.params, TINY_W, embs, masks,
+                                        st.bn_state)
+    s_tok, _ = lf.score_forward(st.params, TINY_W, x, masks, st.bn_state)
+    np.testing.assert_allclose(np.asarray(s_emb), np.asarray(s_tok),
+                               rtol=1e-6, atol=1e-6)
+    gp = airl.gradient_penalty(st, TINY_W, x, x, masks, jax.random.PRNGKey(2))
+    assert gp.shape == () and np.isfinite(float(gp))
