@@ -1,6 +1,9 @@
-"""Thin shim mapping the reference entry point `IRL_dqn_train` to `cli.py dqn-train`."""
+"""Thin shim mapping the reference entry point `IRL_dqn_train` to `rlmg dqn-train`."""
+import os
 import sys
-from cli import main
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from reinforcement_learning_in_music_generation_tpu.apps.cli import main
 
 if __name__ == "__main__":
     main(["dqn-train"] + sys.argv[1:])

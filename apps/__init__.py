@@ -1,3 +1,3 @@
-"""CLI entry points mirroring the reference's scripts (README.md:30-50);
-the real logic lives in apps/cli.py, installed as the `rlmg` console
-script (pyproject.toml)."""
+"""Reference-named launcher shims (README.md:30-50).  Not an installed
+package — the real CLI is reinforcement_learning_in_music_generation_tpu/
+apps/cli.py, console script `rlmg`."""

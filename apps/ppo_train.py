@@ -1,6 +1,9 @@
-"""Thin shim mapping the reference entry point `ppo_train` to `cli.py ppo-train`."""
+"""Thin shim mapping the reference entry point `ppo_train` to `rlmg ppo-train`."""
+import os
 import sys
-from cli import main
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from reinforcement_learning_in_music_generation_tpu.apps.cli import main
 
 if __name__ == "__main__":
     main(["ppo-train"] + sys.argv[1:])

@@ -1,6 +1,9 @@
-"""Thin shim mapping the reference entry point `preprocess` to `cli.py preprocess`."""
+"""Thin shim mapping the reference entry point `preprocess` to `rlmg preprocess`."""
+import os
 import sys
-from cli import main
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from reinforcement_learning_in_music_generation_tpu.apps.cli import main
 
 if __name__ == "__main__":
     main(["preprocess"] + sys.argv[1:])

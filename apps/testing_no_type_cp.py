@@ -1,6 +1,9 @@
-"""Thin shim mapping the reference entry point `testing_no_type_cp` to `cli.py generate`."""
+"""Thin shim mapping the reference entry point `testing_no_type_cp` to `rlmg generate`."""
+import os
 import sys
-from cli import main
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from reinforcement_learning_in_music_generation_tpu.apps.cli import main
 
 if __name__ == "__main__":
     main(["generate"] + sys.argv[1:])

@@ -78,14 +78,12 @@ def use_persistent_decode() -> bool:
 
 
 def decode_state_dtype():
-    """Storage dtype for the recurrent decode state in the persistent
-    kernel.  bfloat16 by default — the linear-attention state is the
-    KV-cache analog, and sub-f32 cache storage is standard serving
-    practice; it halves the dominant HBM stream (301K vs 179K tokens/sec
-    at batch 512, BENCH.md).  Accumulation stays f32 in-kernel; only the
-    stored prefix sums are rounded.  Set RLMG_DECODE_STATE_DTYPE=float32
-    for bit-parity with the XLA/scan decode path."""
-    return jnp.dtype(os.environ.get("RLMG_DECODE_STATE_DTYPE", "bfloat16"))
+    """Storage dtype for the recurrent decode state — shared across ALL
+    fused decode paths so the env var cannot mean different things per
+    path (ops/decode_common.py; bfloat16 unless RLMG_DECODE_STATE_DTYPE
+    overrides)."""
+    from ..ops.decode_common import decode_state_dtype as _dsd
+    return _dsd()
 
 
 @functools.lru_cache(maxsize=16)
@@ -164,8 +162,11 @@ def generate_tokens_persistent(params, cfg: LinearTransformerConfig,
 
     Numerics: sampling settings and stop rules match generate_tokens;
     the stochastic RNG stream is the kernel's on-core PRNG (distribution-
-    equal, different draws), greedy is prefix-exact modulo documented
-    sub-ulp accumulation-order ties (decode_kernel_v6 docstring)."""
+    equal, different draws).  Greedy streams agree with the XLA path on
+    ~98-99.7% of teacher-forced per-step decisions but diverge at near-ties
+    (MXU bf16-input rounding differs across layouts — decode_kernel_v6
+    docstring); the exact invariant is chunk invariance, gated by
+    tests/test_persistent_decode_tpu.py."""
     from ..ops import decode_kernel_v6 as dk6
 
     b_real, t0_len, nf = init_tokens.shape
@@ -208,6 +209,12 @@ def generate_tokens_persistent(params, cfg: LinearTransformerConfig,
     pieces = []
     done_t = 0
     bars_so_far = init_bars
+    if bar_cond is not None and bool(jnp.all(init_bars[:b_real] >= bar_cond)):
+        # seed alone already satisfies the bar condition: don't burn a
+        # chunk*B decode (the scan path's while_loop exits immediately too)
+        return GenResult(tokens=init_tokens.astype(jnp.int32)[:b_real],
+                         valid=jnp.ones((b_real, t0_len), bool),
+                         n_bars=init_bars[:b_real])
     while done_t < max_tokens:
         n = min(chunk, max_tokens - done_t)
         # t_start = the position tok0T of this chunk is FED at: the last

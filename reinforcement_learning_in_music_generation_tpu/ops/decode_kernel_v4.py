@@ -253,12 +253,10 @@ jax.tree_util.register_pytree_node(
 
 
 def state_dtype():
-    """Decode recurrent-state storage dtype.  f32 by default (bit-matches
-    the XLA decode path); RLMG_DECODE_STATE_DTYPE=bfloat16 halves the
-    dominant HBM traffic at large batch — accumulation stays f32 in-kernel,
-    only the stored state is rounded, so the error is a per-step rounding
-    of the prefix sums (measured drift: see BENCH.md)."""
-    return jnp.dtype(os.environ.get("RLMG_DECODE_STATE_DTYPE", "float32"))
+    """Decode recurrent-state storage dtype — shared helper so the env var
+    means the same thing on the v4 and v6 paths (ops/decode_common.py)."""
+    from .decode_common import decode_state_dtype
+    return decode_state_dtype()
 
 
 def init_pair_state(cfg, batch: int, dtype=None) -> PairState:

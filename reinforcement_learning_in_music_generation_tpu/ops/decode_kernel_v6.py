@@ -28,10 +28,19 @@ batch on lanes, features on sublanes:
 
 Same role as v5: replaces the reference's per-token GPU->host->numpy round
 trip (dqn_policy/testing-no-type-cp.py:126-179 + model.py:259-298) and the
-fast_transformers recurrent CUDA path (model.py:141-150).  Numerics: f32
-state and f32 accumulation; greedy decode is prefix-exact vs the XLA path
-until sub-ulp accumulation-order near-ties (same caveat as v5, measured);
-stochastic sampling is distribution-equal by the Gumbel-max argument.
+fast_transformers recurrent CUDA path (model.py:141-150).
+
+Numerics contract (measured, r3): TPU MXU matmuls round f32 inputs to
+bfloat16, and the transposed layout accumulates in a different order than
+XLA's batch-major layout, so per-step activations differ by ~0.3% median
+relative — NOT sub-ulp.  Teacher-forced greedy argmax agrees with the XLA
+path on ~98.4% of (field, song) decisions per step with bf16 weights
+(99.7% with f32 weights, where ties are rarer); autoregressive
+greedy streams therefore diverge at near-ties after a few dozen tokens.
+Exact-stream equality vs the XLA path is NOT the contract — chunk
+invariance (same kernel, different chunking => identical streams) and
+teacher-forced agreement are (tests/test_persistent_decode_tpu.py).
+Stochastic sampling is distribution-equal by the Gumbel-max argument.
 """
 
 from __future__ import annotations
@@ -51,7 +60,7 @@ except Exception:  # pragma: no cover
     pltpu = None
 
 from .decode_kernel_v3 import _gelu_exact, _phi
-from .decode_kernel_v5 import NEG, VF_PAD, gumbel_from_bits
+from .decode_common import NEG, VF_PAD, gumbel_from_bits
 from .linear_attention import DEFAULT_EPS
 
 
@@ -183,7 +192,7 @@ def argmax_first_sub(score: jax.Array) -> jax.Array:
     return jnp.min(jnp.where(score == m, iota, n), axis=1, keepdims=True)
 
 
-# gumbel_from_bits, VF_PAD, NEG are shared with decode_kernel_v5 (the
+# gumbel_from_bits, VF_PAD, NEG live in decode_common (shared with the
 # Mosaic uint32 workaround lives in one place)
 
 

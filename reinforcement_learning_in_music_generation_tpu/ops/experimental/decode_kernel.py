@@ -38,7 +38,7 @@ try:
 except Exception:  # pragma: no cover
     pltpu = None
 
-from .linear_attention import DEFAULT_EPS
+from ..linear_attention import DEFAULT_EPS
 
 
 def _phi(x):
@@ -226,8 +226,8 @@ def fused_decode_step(params: dict, cfg, token: jax.Array, state,
     the kernel's (L, H, B, E, E+1) augmented layout via to/from converters
     below, exposed for benchmarking; generation uses decode_step unless the
     fused path measures faster on the target chip."""
-    from ..models import common as cm
-    from ..models import linear_transformer as lt
+    from ...models import common as cm
+    from ...models import linear_transformer as lt
 
     b = token.shape[0]
     embs = cm.embed_fields(params["emb"], token)

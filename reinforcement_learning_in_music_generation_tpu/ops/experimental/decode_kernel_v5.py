@@ -58,11 +58,9 @@ try:
 except Exception:  # pragma: no cover
     pltpu = None
 
-from .decode_kernel_v3 import _gelu_exact, _ln, _phi
-from .linear_attention import DEFAULT_EPS
-
-VF_PAD = 256          # per-field lane stride in the padded heads layout
-NEG = -1e30
+from ..decode_kernel_v3 import _gelu_exact, _ln, _phi
+from ..linear_attention import DEFAULT_EPS
+from ..decode_common import NEG, VF_PAD, gumbel_from_bits  # noqa: F401
 
 # Perf-ablation knob (profiling only — output is garbage when set):
 #   "state"  -> inner pipeline copies state through without attention math
@@ -104,18 +102,6 @@ def nucleus_keep_by_threshold(p: jax.Array, top_p: jax.Array,
     return p > lo
 
 
-def gumbel_from_bits(bits: jax.Array) -> jax.Array:
-    """uint32 random bits -> standard Gumbel noise (f32).
-
-    u in (0, 1) from the top 24 bits; argmax(log p + g) over a kept set
-    samples the renormalized categorical exactly (Gumbel-max trick), so no
-    inverse-CDF cumsum is needed in-kernel.  The uint32 is shifted to 24
-    bits then cast via int32 (Mosaic has no uint32->f32 cast; the value
-    fits in 24 bits so the signed reinterpretation is lossless)."""
-    u = ((bits >> jnp.uint32(8)).astype(jnp.int32).astype(jnp.float32)
-         * (2.0 ** -24) + (2.0 ** -25))
-    return -jnp.log(-jnp.log(u))
-
 
 def argmax_first(score: jax.Array) -> jax.Array:
     """Argmax over the last axis returning the FIRST maximal index (matches
@@ -154,7 +140,7 @@ class V5Params(NamedTuple):
 
 
 def make_v5_params(params: dict, cfg, dtype=jnp.bfloat16) -> V5Params:
-    from ..models import common as cm
+    from ...models import common as cm
     lp = params["layers"]
     L, d, _ = lp["wq"]["w"].shape
     f32 = jnp.float32

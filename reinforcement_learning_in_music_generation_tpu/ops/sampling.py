@@ -153,7 +153,13 @@ def sample_fields_fused(rng: jax.Array, logits_cat: jax.Array,
     """logits_cat (B, sum V_f) -> token ids (B, nf) int32.
 
     `uniforms` (B, nf) overrides the RNG draw (used by the parity test to
-    compare token-exactly against the per-field sampler)."""
+    compare token-exactly against the per-field sampler).
+
+    Scaling note: the sort-free rank/CDF trick materializes (B, nf, Vmax,
+    Vmax) pairwise tensors — O(Vmax^2) memory/compute.  At the CP vocab
+    (Vmax=135) that is ~18K elements per (B, nf) and wins by a wide margin
+    over per-field sort; for a much larger tokenizer (Vmax >~ 2048) prefer
+    the sort-based per-field `sample_fields` above."""
     b = logits_cat.shape[0]
     nf, vmax = len(vocab_sizes), max(vocab_sizes)
     idx, valid = _fused_layout(vocab_sizes)

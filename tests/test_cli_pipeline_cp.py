@@ -7,13 +7,12 @@ import sys
 
 import numpy as np
 
-sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "apps"))
 
 from test_e2e_pipeline import make_corpus  # noqa: E402
 
 
 def test_cp_prepare_then_pretrain(tmp_path):
-    import cli
+    from reinforcement_learning_in_music_generation_tpu.apps import cli
 
     corpus = tmp_path / "midis"
     out = tmp_path / "cp"

@@ -10,11 +10,10 @@ import sys
 
 import pytest
 
-sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "apps"))
 
 
 def _cli():
-    import cli
+    from reinforcement_learning_in_music_generation_tpu.apps import cli
     return cli
 
 

@@ -11,7 +11,7 @@ from reinforcement_learning_in_music_generation_tpu.models import (
     linear_transformer as lt)
 
 dk = importlib.import_module(
-    "reinforcement_learning_in_music_generation_tpu.ops.decode_kernel")
+    "reinforcement_learning_in_music_generation_tpu.ops.experimental.decode_kernel")
 
 CFG = C.LinearTransformerConfig(
     vocab_sizes=(10, 12, 8, 16, 9, 7), emb_sizes=(8,) * 6,

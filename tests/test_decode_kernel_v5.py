@@ -14,8 +14,9 @@ import numpy as np
 from reinforcement_learning_in_music_generation_tpu import config as C
 from reinforcement_learning_in_music_generation_tpu.models import (
     common as cm, linear_transformer as lt)
-from reinforcement_learning_in_music_generation_tpu.ops import (
-    decode_kernel_v5 as dk5, sampling as smp)
+from reinforcement_learning_in_music_generation_tpu.ops import sampling as smp
+from reinforcement_learning_in_music_generation_tpu.ops.experimental import (
+    decode_kernel_v5 as dk5)
 
 
 def test_keep_threshold_matches_nucleus_mask():

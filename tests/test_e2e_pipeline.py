@@ -12,7 +12,6 @@ import sys
 import numpy as np
 import pytest
 
-sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "apps"))
 
 from reinforcement_learning_in_music_generation_tpu.data import midifile
 
@@ -39,7 +38,7 @@ def make_corpus(root, n_songs=3, n_bars=20, seed=0):
 
 
 def test_full_pipeline(tmp_path):
-    import cli
+    from reinforcement_learning_in_music_generation_tpu.apps import cli
 
     corpus = tmp_path / "midis"
     save = tmp_path / "dataset"

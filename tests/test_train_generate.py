@@ -148,11 +148,7 @@ def test_pretrain_multistep_lr_wired(tmp_path):
 def test_cli_flags_parse():
     """ppo-train --compat-forward-returns and my-pretrain --lr-milestones
     reach their configs (VERDICT r1, Next #10)."""
-    import importlib
-    import os
-    import sys
-    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "apps"))
-    cli = importlib.import_module("cli")
+    from reinforcement_learning_in_music_generation_tpu.apps import cli
     p = cli.build_parser()
     a = p.parse_args(["ppo-train", "--compat-forward-returns"])
     assert a.compat_forward_returns is True
