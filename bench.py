@@ -104,6 +104,56 @@ def bench_decode():
     return BATCH * STEPS / elapsed, elapsed
 
 
+def bench_latency():
+    """Latency-mode decode: the reference's actual scenario is a handful of
+    songs, not batch-1024 throughput (dqn_policy/testing-no-type-cp.py:
+    182-224 generates 5 songs at 50 bars).  Measures B=1 serial tokens/sec
+    and the 5-songs-x-50-bars wall clock through the production
+    auto-dispatch (v4 per-step path below the B~64-96 crossover,
+    BENCH.md r3)."""
+    import jax
+    import jax.numpy as jnp
+    from reinforcement_learning_in_music_generation_tpu import config as C
+    from reinforcement_learning_in_music_generation_tpu.generate import sampler
+    from reinforcement_learning_in_music_generation_tpu.models import (
+        linear_transformer as lt)
+
+    cfg = C.agent_config()
+    params = lt.init_params(jax.random.PRNGKey(0), cfg)
+    params = jax.tree_util.tree_map(lambda x: x.astype(jnp.bfloat16), params)
+
+    import numpy as np
+
+    def gen(seed, b, **kw):
+        init = jnp.tile(jnp.asarray(sampler.CP_SEED, jnp.int32)[None, None],
+                        (b, 1, 1))
+        if sampler.use_persistent_decode(batch=b):
+            return sampler.generate_tokens_persistent(
+                params, cfg, jax.random.PRNGKey(seed), init, **kw)
+        return sampler.generate_tokens(
+            params, cfg, jax.random.PRNGKey(seed), init,
+            fused=sampler.use_fused_decode(),
+            fused_sampling=sampler.use_fused_sampling(), **kw)
+
+    def time_loop(fn, k):
+        # block_until_ready alone no-ops on the tunneled platform until a
+        # host fetch primes it (BENCH.md methodology), and a per-call fetch
+        # costs ~10-40 ms — large next to a ~70 ms B=1 decode.  So: queue k
+        # dispatches (they execute serially on the single stream) and fetch
+        # once; the span covers all k programs.
+        np.asarray(fn(0).tokens)            # compile + priming fetch
+        np.asarray(fn(1).tokens)            # sacrificial
+        t0 = time.time()
+        rs = [fn(2 + i) for i in range(k)]
+        np.asarray(rs[-1].tokens)
+        return (time.time() - t0) / k
+
+    T = 256
+    b1 = time_loop(lambda s: gen(s, 1, max_tokens=T, bar_cond=None), 5)
+    five = time_loop(lambda s: gen(s, 5, max_tokens=4096, bar_cond=50), 3)
+    return T / b1, five
+
+
 def bench_pretrain():
     import jax
     import jax.numpy as jnp
@@ -297,6 +347,7 @@ def bench_ppo():
 def main():
     _setup_cache()
     decode_tps, decode_s = bench_decode()
+    b1_tps, five_songs_s = bench_latency()
     pretrain_tps, pretrain_s = bench_pretrain()
     rl = {}
     if RUN_RL:
@@ -323,6 +374,8 @@ def main():
         "decode_batch": BATCH,
         "decode_steps": STEPS,
         "decode_step_time_s": round(decode_s, 4),
+        "decode_b1_tokens_per_sec": round(b1_tps, 1),
+        "five_songs_50bars_s": round(five_songs_s, 3),
         "pretrain_tokens_per_sec": round(pretrain_tps, 1),
         "pretrain_step_time_s": round(pretrain_s, 4),
         "baseline_torch_cpu_tokens_per_sec": (

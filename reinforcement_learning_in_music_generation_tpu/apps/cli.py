@@ -268,6 +268,21 @@ def cmd_dqn_train(args):
     rstate = airl.init_state(jax.random.PRNGKey(cfg.seed + 1), wcfg, acfg)
     rtx = airl.make_optimizer(acfg)
 
+    mesh = None
+    if args.dp > 1 or args.tp > 1:
+        # RL on the ('dp','tp') mesh: Megatron weight shardings, transition
+        # batches over dp; GSPMD inserts the collectives (sharded parity:
+        # tests/test_rl.py::test_*_sharded_matches_single_device)
+        from reinforcement_learning_in_music_generation_tpu.parallel import (
+            make_mesh, shard_params)
+        mesh = make_mesh(dp=args.dp, tp=args.tp)
+        sh_eval = shard_params(mesh, state.eval_params)
+        state = dqn.DQNState(sh_eval, shard_params(mesh, state.target_params),
+                             tx.init(sh_eval), state.target_count)
+        sh_disc = shard_params(mesh, rstate.params)
+        rstate = airl.AIRLState(sh_disc, jax.device_put(rstate.bn_state),
+                                rtx.init(sh_disc))
+
     agent_buf = buffers.buffer_init(cfg.buffer_size, buffers.agent_field_specs(
         cfg.n_states, cfg.n_actions, cfg.n_features))
     expert_buf = buffers.buffer_init(cfg.buffer_size, buffers.expert_field_specs(
@@ -296,6 +311,11 @@ def cmd_dqn_train(args):
                 data={**agent_buf.data, "reward": agent_r})
             batch = buffers.buffer_sample(agent_buf, r2, cfg.batch_size)
             ebatch = buffers.buffer_sample(expert_buf, r2b, cfg.batch_size)
+            if mesh is not None:
+                from reinforcement_learning_in_music_generation_tpu.parallel import (
+                    shard_batch)
+                batch = shard_batch(mesh, batch)
+                ebatch = shard_batch(mesh, ebatch)
             state, metrics = dqn.update(
                 state, ucfg, cfg, tx, batch,
                 {"state": ebatch["state"], "next_state": ebatch["next_state"],
@@ -352,6 +372,18 @@ def cmd_ppo_train(args):
                            reward_params=reward_params)
     txs = ppo.make_optimizers(cfg)
     cfgs = (acfg, ccfg, rcfg)
+
+    mesh = None
+    if args.dp > 1 or args.tp > 1:
+        from reinforcement_learning_in_music_generation_tpu.parallel import (
+            make_mesh, shard_params)
+        mesh = make_mesh(dp=args.dp, tp=args.tp)
+        atx, ctx = txs
+        sh_actor = shard_params(mesh, state.actor_params)
+        sh_critic = shard_params(mesh, state.critic_params)
+        state = ppo.PPOState(sh_actor, sh_critic,
+                             shard_params(mesh, state.reward_params),
+                             atx.init(sh_actor), ctx.init(sh_critic))
     saver = Saver(args.exp_dir)
     bus = MetricsBus(saver, use_wandb=args.wandb)
     policy_losses = []
@@ -365,6 +397,12 @@ def cmd_ppo_train(args):
             agent_ts["reward"][:, 0], cfg.discount,
             compat_forward=cfg.compat_forward_returns)
         adv = ppo.calculate_advantages(returns, agent_ts["value"])
+        if mesh is not None:
+            from reinforcement_learning_in_music_generation_tpu.parallel import (
+                shard_batch)
+            agent_ts = shard_batch(mesh, agent_ts)
+            expert_ts = shard_batch(mesh, expert_ts)
+            adv, returns = shard_batch(mesh, (adv, returns))
         rng, up_rng = jax.random.split(rng)
         state, metrics = ppo.update_policy(
             state, cfgs, cfg, txs, agent_ts, expert_ts, adv, returns, up_rng)
@@ -553,6 +591,8 @@ def build_parser() -> argparse.ArgumentParser:
     d.add_argument("--pretrain-ckpt", default=None)
     d.add_argument("--retrain-disc", action="store_true")
     d.add_argument("--max-updates", type=int, default=None)
+    d.add_argument("--dp", type=int, default=1)
+    d.add_argument("--tp", type=int, default=1)
     d.set_defaults(fn=cmd_dqn_train)
 
     d = sub.add_parser("ppo-train", help="PPO fine-tune")
@@ -563,6 +603,8 @@ def build_parser() -> argparse.ArgumentParser:
     d.add_argument("--n-actions", type=int, default=25)
     d.add_argument("--ppo-steps", type=int, default=10)
     d.add_argument("--pretrain-actor", default=None)
+    d.add_argument("--dp", type=int, default=1)
+    d.add_argument("--tp", type=int, default=1)
     d.add_argument("--compat-forward-returns", action="store_true",
                    help="reproduce the reference's forward-order reward "
                         "discounting (ppo_train.py:348-357, SURVEY §2.6#6)")

@@ -63,14 +63,31 @@ def use_fused_sampling() -> bool:
     return True
 
 
-def use_persistent_decode() -> bool:
+def persistent_min_batch() -> int:
+    """Auto-dispatch crossover between the per-step v4 path and the v6
+    persistent kernel.  v6 carries batch on the 128-lane axis, so any
+    smaller batch pads to 128 lanes and the kernel step costs the same
+    ~0.75-1.0 ms regardless of real batch; the v4 per-step path scales
+    down.  Measured on v5e (BENCH.md r3): v4 wins through B=64
+    (675 vs 744 us/step), v6 wins from B=96 (790 vs 896 us/step).
+    RLMG_PERSISTENT_MIN_BATCH overrides."""
+    return int(os.environ.get("RLMG_PERSISTENT_MIN_BATCH", "65"))
+
+
+def use_persistent_decode(batch: Optional[int] = None) -> bool:
     """The v6 persistent whole-sequence kernel (ops/decode_kernel_v6): the
     ENTIRE T-token loop is one pallas_call on the transposed network —
-    2.4x the per-step v4 path at batch 512 (BENCH.md).  TPU-only;
-    RLMG_PERSISTENT_DECODE=0/1 overrides the platform auto-detection."""
+    2.4x the per-step v4 path at batch 512 (BENCH.md).  TPU-only.
+
+    `batch`: when given, auto-dispatch also requires
+    batch >= persistent_min_batch() (small batches waste v6's 128 lanes
+    and run faster through the per-step v4 path).
+    RLMG_PERSISTENT_DECODE=0/1 overrides everything."""
     env = os.environ.get("RLMG_PERSISTENT_DECODE")
     if env is not None:
         return env == "1"
+    if batch is not None and batch < persistent_min_batch():
+        return False
     try:
         return jax.default_backend() in ("tpu", "axon")
     except Exception:
@@ -295,6 +312,15 @@ def generate_tokens(params, cfg: LinearTransformerConfig, rng: jax.Array,
     fused=True decodes through the v3 whole-step Pallas kernel
     (ops/decode_kernel_v3) — +37-45% tokens/sec on v5e, TPU-only."""
     b, t0, nf = init_tokens.shape
+    # the fused per-step kernels carry batch on sublanes: Mosaic rejects
+    # vector loads whose leading dim is not 1 or a multiple of the 8-row
+    # sublane tile (found at B=5, the reference's own 5-song scenario) —
+    # pad with copies of song 0 and slice the results back
+    b_real = b
+    if fused and b % 8 != 0 and b != 1:
+        b = -(-b // 8) * 8
+        pad = jnp.tile(init_tokens[:1], (b - b_real, 1, 1))
+        init_tokens = jnp.concatenate([init_tokens, pad], axis=0)
     from ..models import common as cm
     dtype = params["in_linear"]["w"].dtype  # share one table across steps
     pe = cm.sinusoidal_table(cfg.max_len, cfg.d_model, dtype)
@@ -392,7 +418,8 @@ def generate_tokens(params, cfg: LinearTransformerConfig, rng: jax.Array,
         valid = valid & (idx < token_count)
     tokens = jnp.concatenate([init_tokens.astype(jnp.int32), toks], axis=1)
     valid = jnp.concatenate([jnp.ones((b, t0), bool), valid], axis=1)
-    return GenResult(tokens=tokens, valid=valid, n_bars=bars)
+    return GenResult(tokens=tokens[:b_real], valid=valid[:b_real],
+                     n_bars=bars[:b_real])
 
 
 def generate_songs(params, cfg: LinearTransformerConfig,
@@ -425,7 +452,7 @@ def generate_songs(params, cfg: LinearTransformerConfig,
         token_count=gen_cfg.token_count,
         greedy=gen_cfg.greedy,
         settings=tuple(smp.GREEDY) if gen_cfg.greedy else tuple(smp.CP_SAMPLING))
-    if mesh is None and use_persistent_decode():
+    if mesh is None and use_persistent_decode(batch=b):
         res = generate_tokens_persistent(params, cfg, rng, init_tokens,
                                          **kwargs)
     else:

@@ -39,5 +39,13 @@ def data_sharding(mesh: Mesh, ndim: int) -> NamedSharding:
 
 
 def shard_batch(mesh: Mesh, batch):
-    return jax.tree_util.tree_map(
-        lambda x: jax.device_put(x, data_sharding(mesh, x.ndim)), batch)
+    """Shard each leaf's leading axis over dp; leaves whose leading dim is
+    not divisible by dp (e.g. an RL batch of 30 on dp=4) are replicated —
+    GSPMD still shards the tp matmuls inside the step."""
+    dp = mesh.shape["dp"]
+
+    def put(x):
+        if x.ndim and x.shape[0] % dp == 0:
+            return jax.device_put(x, data_sharding(mesh, x.ndim))
+        return jax.device_put(x, replicated(mesh))
+    return jax.tree_util.tree_map(put, batch)

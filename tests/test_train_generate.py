@@ -239,3 +239,26 @@ def test_remat_train_step_matches_nonremat():
                     jax.tree_util.tree_leaves(g1)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-6)
+
+
+def test_decode_path_auto_dispatch(monkeypatch):
+    """Small batches must NOT take the v6 persistent path (it pads to 128
+    lanes; measured crossover B~64-96, BENCH.md r3) unless the env forces
+    it; the env kill-switch must always win."""
+    from reinforcement_learning_in_music_generation_tpu.generate import sampler
+    monkeypatch.delenv("RLMG_PERSISTENT_DECODE", raising=False)
+    monkeypatch.delenv("RLMG_PERSISTENT_MIN_BATCH", raising=False)
+    assert sampler.persistent_min_batch() == 65
+    # below the crossover: never persistent, whatever the backend
+    assert sampler.use_persistent_decode(batch=5) is False
+    assert sampler.use_persistent_decode(batch=64) is False
+    monkeypatch.setenv("RLMG_PERSISTENT_MIN_BATCH", "32")
+    assert sampler.use_persistent_decode(batch=5) is False
+    # at/above the crossover the platform check decides (False on CPU)
+    ge = sampler.use_persistent_decode(batch=128)
+    assert ge == sampler.use_persistent_decode(batch=None)
+    # env override beats both directions
+    monkeypatch.setenv("RLMG_PERSISTENT_DECODE", "1")
+    assert sampler.use_persistent_decode(batch=1) is True
+    monkeypatch.setenv("RLMG_PERSISTENT_DECODE", "0")
+    assert sampler.use_persistent_decode(batch=1024) is False
