@@ -79,7 +79,7 @@ def bench_decode():
             # loop is pallas_calls of `chunk` tokens (BENCH.md round 2)
             return sampler.generate_tokens_persistent(
                 params, cfg, jax.random.PRNGKey(seed), init,
-                max_tokens=STEPS, bar_cond=None, chunk=128)
+                max_tokens=STEPS, bar_cond=None)
         return sampler.generate_tokens(
             params, cfg, jax.random.PRNGKey(seed), init,
             max_tokens=STEPS, bar_cond=None,

@@ -158,6 +158,26 @@ def _persistent_chunk_fn(cfg, n, greedy, temps, topps):
     return chunk
 
 
+_V6P_CACHE: dict = {}
+
+
+def _packed_v6(params, cfg, dtype):
+    """Pack (transpose) the weights into the v6 layout once per params
+    object: serving reuses the same weights call after call, and repacking
+    ~50MB of transposes every generate call was a measurable slice of the
+    v6 integration overhead (BENCH.md r3).  Keyed on object identity with
+    a strong ref, so the id cannot be recycled while cached."""
+    key = (id(params), cfg, str(dtype))
+    hit = _V6P_CACHE.get(key)
+    if hit is not None and hit[0] is params:
+        return hit[1]
+    v6p = _persistent_pack_fn(cfg, str(dtype))(params)
+    if len(_V6P_CACHE) >= 8:
+        _V6P_CACHE.clear()
+    _V6P_CACHE[key] = (params, v6p)
+    return v6p
+
+
 def generate_tokens_persistent(params, cfg: LinearTransformerConfig,
                                rng: jax.Array, init_tokens: jax.Array, *,
                                max_tokens: int,
@@ -167,7 +187,7 @@ def generate_tokens_persistent(params, cfg: LinearTransformerConfig,
                                greedy: bool = False,
                                settings: Tuple[smp.FieldSampling, ...] =
                                tuple(smp.CP_SAMPLING),
-                               chunk: int = 128) -> GenResult:
+                               chunk: Optional[int] = None) -> GenResult:
     """generate_tokens via the v6 persistent kernel (ops/decode_kernel_v6).
 
     The sequential token loop never leaves the chip: each pallas_call
@@ -187,6 +207,13 @@ def generate_tokens_persistent(params, cfg: LinearTransformerConfig,
     from ..ops import decode_kernel_v6 as dk6
 
     b_real, t0_len, nf = init_tokens.shape
+    if chunk is None:
+        # fixed token budget: one kernel call for everything (chunk=256 vs
+        # 128 at B=1024 measured +1.3%, no inter-chunk dispatch latency),
+        # capped at 256 — the per-step pe slab input is (T, D, 128) f32,
+        # so unbounded T would drag a multi-hundred-MB operand along.
+        # bar-stop runs: 128 keeps the host exit check reasonably granular.
+        chunk = min(max_tokens, 256) if bar_cond is None else 128
     # batch rides the LANE dimension in the transposed kernel, so it must
     # be a multiple of the 128-lane tile; pad with copies of song 0 and
     # slice the results back
@@ -200,7 +227,7 @@ def generate_tokens_persistent(params, cfg: LinearTransformerConfig,
     # all jitted pieces are module-level LRU caches keyed on static config
     # (params/v6p are TRACED args) — defining them per call would pay a
     # compile-cache reload (~45s through the tunnel) on every invocation
-    v6p = _persistent_pack_fn(cfg, str(dtype))(params)
+    v6p = _packed_v6(params, cfg, dtype)
     state = lt.init_decode_state(cfg, b)
     # kernel contract (parity-verified by scripts/profile_decode_v6.py):
     # the state is BEFORE tok0T — the kernel feeds tok0T itself at
@@ -213,8 +240,12 @@ def generate_tokens_persistent(params, cfg: LinearTransformerConfig,
     temps = tuple(s.temperature for s in settings)
     topps = tuple(s.top_p if s.top_p is not None else float("inf")
                   for s in settings)
-    # mask so seed0 + done_t can never overflow int32
-    seed0 = int(jax.random.randint(rng, (), 0, 2 ** 31 - 1)) & 0x3FFFFFFF
+    # kernel PRNG seed stays a DEVICE scalar: `int(...)` here would be a
+    # blocking ~10-40 ms D2H fetch before the first chunk dispatch
+    # (measured slice of the r2 integration overhead).  Mask so
+    # seed0 + done_t can never overflow int32.
+    seed0 = (jax.random.randint(rng, (), 0, 2 ** 31 - 1)
+             & 0x3FFFFFFF).astype(jnp.int32)
 
     def chunk_fn(tokT, s6, z6, seed, t_start, n):
         return _persistent_chunk_fn(cfg, n, greedy, temps, topps)(
@@ -226,28 +257,45 @@ def generate_tokens_persistent(params, cfg: LinearTransformerConfig,
     pieces = []
     done_t = 0
     bars_so_far = init_bars
+    def dispatch(tokT, s6, z6, done_t):
+        # t_start = the position tok0T of this chunk is FED at: the last
+        # init token sits at t0_len-1, each chunk then advances by n
+        n = min(chunk, max_tokens - done_t)
+        return chunk_fn(
+            tokT, s6, z6, seed0 + jnp.int32(done_t),
+            jnp.asarray(t0_len - 1 + done_t, jnp.int32), n), n
+
+    # pipelined chunk loop: the NEXT chunk is dispatched BEFORE the
+    # (blocking) bar-count fetch for the current one, so the device keeps
+    # decoding while the host waits on the D2H read (~10-40 ms through the
+    # tunnel).  If the fetch says all songs are done, the speculative chunk
+    # is simply dropped — its tokens would be masked invalid by assemble
+    # anyway, so speculation never changes results.
+    cur, cur_n = dispatch(tokT, s6, z6, 0)
     if bar_cond is not None and bool(jnp.all(init_bars[:b_real] >= bar_cond)):
-        # seed alone already satisfies the bar condition: don't burn a
-        # chunk*B decode (the scan path's while_loop exits immediately too)
+        # seed alone already satisfies the bar condition (the scan path's
+        # while_loop exits immediately too).  Checked AFTER the first
+        # dispatch so the fetch overlaps chunk-0 decode in the common case;
+        # chunk 0 is dropped here, its tokens would be all-invalid anyway.
         return GenResult(tokens=init_tokens.astype(jnp.int32)[:b_real],
                          valid=jnp.ones((b_real, t0_len), bool),
                          n_bars=init_bars[:b_real])
-    while done_t < max_tokens:
-        n = min(chunk, max_tokens - done_t)
-        # t_start = the position tok0T of this chunk is FED at: the last
-        # init token sits at t0_len-1, each chunk then advances by n
-        toksT, s6, z6 = chunk_fn(
-            tokT, s6, z6, jnp.asarray(seed0 + done_t, jnp.int32),
-            jnp.asarray(t0_len - 1 + done_t, jnp.int32), n)
+    while True:
+        toksT, s6, z6 = cur
         pieces.append(toksT)                              # (n, nf, B)
-        tokT = toksT[-1]
-        done_t += n
+        done_t += cur_n
+        nxt = None
+        if done_t < max_tokens:
+            nxt = dispatch(toksT[-1], s6, z6, done_t)
         if bar_cond is not None:
             # running total: one reduction per chunk, not per-piece re-sums
             bars_so_far = bars_so_far + jnp.sum(
                 toksT[:, barbeat_field, :] == bar_token_id, axis=0)
             if bool(jnp.all(bars_so_far[:b_real] >= bar_cond)):
                 break
+        if nxt is None:
+            break
+        cur, cur_n = nxt
 
     # one jitted assembly call (each separate dispatch pays ~10-40ms of
     # tunnel latency; this was a measurable slice of short generations)
