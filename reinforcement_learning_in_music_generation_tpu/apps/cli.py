@@ -243,7 +243,7 @@ def cmd_dqn_train(args):
     from reinforcement_learning_in_music_generation_tpu import config as C
     from reinforcement_learning_in_music_generation_tpu.rl import airl, buffers, dqn, env
     from reinforcement_learning_in_music_generation_tpu.utils import (
-        MetricsBus, Saver, save_checkpoint, bi_loss_plot)
+        MetricsBus, Saver, save_checkpoint, bi_loss_plot, score_plotting)
 
     import dataclasses
     vocab = (56, 135, 18, 87, 18, 25)
@@ -291,6 +291,7 @@ def cmd_dqn_train(args):
     saver = Saver(args.exp_dir)
     bus = MetricsBus(saver, use_wandb=args.wandb)
     mse_hist, ce_hist, total_hist = [], [], []
+    agent_score_hist, expert_score_hist = [], []
     updates = 0
     for epoch in range(cfg.num_songs):
         song = epoch % x.shape[0]
@@ -303,10 +304,14 @@ def cmd_dqn_train(args):
 
         if int(agent_buf.counter) > cfg.buffer_size:
             rng, r1, r2, r2b, r3 = jax.random.split(rng, 5)
-            rstate, agent_r, _, _ = airl.update_disc(
+            rstate, agent_r, expert_r, _ = airl.update_disc(
                 rstate, wcfg, acfg, rtx, buffers.buffer_get(agent_buf),
                 buffers.buffer_get(expert_buf), r1,
                 train=(updates == 0 or args.retrain_disc))
+            # learning-effect evidence (AIRL.py:194-226 wandb curves): the
+            # discriminator's mean expert vs agent buffer scores
+            agent_score_hist.append(float(agent_r.mean()))
+            expert_score_hist.append(float(expert_r.mean()))
             agent_buf = agent_buf._replace(
                 data={**agent_buf.data, "reward": agent_r})
             batch = buffers.buffer_sample(agent_buf, r2, cfg.batch_size)
@@ -321,18 +326,30 @@ def cmd_dqn_train(args):
                 {"state": ebatch["state"], "next_state": ebatch["next_state"],
                  "mask_next_state": ebatch["mask_next_state"]}, r3)
             updates += 1
-            bus.log({k: float(v) for k, v in metrics.items()})
+            bus.log({**{k: float(v) for k, v in metrics.items()},
+                     "agent_score": agent_score_hist[-1],
+                     "expert_score": expert_score_hist[-1]})
             mse_hist.append(float(metrics["mse"]))
             ce_hist.append(float(metrics["ce"]))
             total_hist.append(float(metrics["total"]))
             print(f"Epoch {epoch}/{cfg.num_songs} | MSE {metrics['mse']:.4f} "
-                  f"| CE {metrics['ce']:.4f} | total {metrics['total']:.4f}")
+                  f"| CE {metrics['ce']:.4f} | total {metrics['total']:.4f} "
+                  f"| D(agent) {agent_score_hist[-1]:.3f} "
+                  f"| D(expert) {expert_score_hist[-1]:.3f}")
             if epoch >= cfg.ckpt_epoch_gate:
                 save_checkpoint(os.path.join(args.ckpt_dir, "dqn_best.ckpt"),
                                 state.eval_params, state.opt_state, epoch)
                 bi_loss_plot(mse_hist, ce_hist, total_hist,
                              ["MSE", "CE", "Global"],
                              os.path.join(args.exp_dir, "agent_loss.png"))
+                score_plotting(agent_score_hist, expert_score_hist,
+                               os.path.join(args.exp_dir, "disc_scores.png"))
+                from reinforcement_learning_in_music_generation_tpu.utils import (
+                    curve_plot)
+                curve_plot({"D(agent)": agent_score_hist,
+                            "D(expert)": expert_score_hist},
+                           os.path.join(args.exp_dir, "disc_separation.png"),
+                           xlabel="Update", ylabel="Mean discriminator score")
         else:
             print(f"Epoch {epoch}/{cfg.num_songs} | buffer "
                   f"{int(agent_buf.counter)}/{cfg.buffer_size}")
@@ -340,6 +357,17 @@ def cmd_dqn_train(args):
             break
     save_checkpoint(os.path.join(args.ckpt_dir, "dqn_last.ckpt"),
                     state.eval_params, state.opt_state, cfg.num_songs)
+    if updates:
+        from reinforcement_learning_in_music_generation_tpu.utils import (
+            curve_plot)
+        bi_loss_plot(mse_hist, ce_hist, total_hist, ["MSE", "CE", "Global"],
+                     os.path.join(args.exp_dir, "agent_loss.png"))
+        score_plotting(agent_score_hist, expert_score_hist,
+                       os.path.join(args.exp_dir, "disc_scores.png"))
+        curve_plot({"D(agent)": agent_score_hist,
+                    "D(expert)": expert_score_hist},
+                   os.path.join(args.exp_dir, "disc_separation.png"),
+                   xlabel="Update", ylabel="Mean discriminator score")
 
 
 def cmd_ppo_train(args):
@@ -386,13 +414,16 @@ def cmd_ppo_train(args):
                              atx.init(sh_actor), ctx.init(sh_critic))
     saver = Saver(args.exp_dir)
     bus = MetricsBus(saver, use_wandb=args.wandb)
-    policy_losses = []
+    policy_losses, reward_hist = [], []
     for epoch in range(cfg.num_songs):
         song = epoch % x.shape[0]
         agent_ts, expert_ts = ppo.rollout_song(
             state, cfgs, x[song], y[song], mask[song],
             episodes=cfg.episodes, n_states=cfg.n_states,
             n_actions=cfg.n_actions)
+        # learning-effect evidence (ppo_train.py:516-527 wandb curve): the
+        # learned-reward model's mean score of this epoch's rollout
+        reward_hist.append(float(agent_ts["reward"].mean()))
         returns = ppo.calculate_returns(
             agent_ts["reward"][:, 0], cfg.discount,
             compat_forward=cfg.compat_forward_returns)
@@ -407,12 +438,25 @@ def cmd_ppo_train(args):
         state, metrics = ppo.update_policy(
             state, cfgs, cfg, txs, agent_ts, expert_ts, adv, returns, up_rng)
         policy_losses.append(float(metrics["actor_loss"]))
-        bus.log({k: float(v) for k, v in metrics.items()})
+        bus.log({**{k: float(v) for k, v in metrics.items()},
+                 "mean_reward": reward_hist[-1]})
         print(f"Epoch {epoch}/{cfg.num_songs} | actor {metrics['actor_loss']:.4f}"
-              f" | critic {metrics['value_loss']:.4f}")
+              f" | critic {metrics['value_loss']:.4f}"
+              f" | reward {reward_hist[-1]:.4f}")
         if epoch % 5 == 0:
             save_checkpoint(os.path.join(args.ckpt_dir, "ppo_best.ckpt"),
                             state.actor_params, None, epoch)
+            from reinforcement_learning_in_music_generation_tpu.utils import (
+                curve_plot)
+            curve_plot({"mean reward": reward_hist},
+                       os.path.join(args.exp_dir, "ppo_reward.png"),
+                       ylabel="Learned reward (rollout mean)")
+    if reward_hist:
+        from reinforcement_learning_in_music_generation_tpu.utils import (
+            curve_plot)
+        curve_plot({"mean reward": reward_hist},
+                   os.path.join(args.exp_dir, "ppo_reward.png"),
+                   ylabel="Learned reward (rollout mean)")
 
 
 def cmd_generate(args):

@@ -51,6 +51,24 @@ def tri_loss_plot(expert: Sequence[float], agent: Sequence[float],
     plt.close(fig)
 
 
+def curve_plot(series: dict, path: str, *, xlabel: str = "Epoch",
+               ylabel: str = "Value") -> None:
+    """N named series over epochs (learning-effect curves: discriminator
+    score separation, PPO mean reward — the rebuild's analog of the
+    reference's wandb panels, IRL_dqn_train.py:393-401,
+    ppo_train.py:516-527)."""
+    plt = _plt()
+    fig = plt.figure(dpi=100)
+    for name, ys in series.items():
+        plt.plot(ys, label=name)
+    plt.xlabel(xlabel)
+    plt.ylabel(ylabel)
+    plt.legend(loc="best")
+    plt.tight_layout()
+    plt.savefig(path)
+    plt.close(fig)
+
+
 def score_plotting(agent_scores: Sequence[float], expert_scores: Sequence[float],
                    path: str) -> None:
     """Agent-vs-expert reward histogram — AIRL.py:225-228."""
