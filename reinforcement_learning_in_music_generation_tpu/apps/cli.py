@@ -254,7 +254,8 @@ def cmd_dqn_train(args):
     cfg = C.DQNConfig(num_songs=args.songs, episodes=args.episodes,
                       buffer_size=args.buffer_size, batch_size=args.batch_size,
                       n_states=args.n_states, n_actions=args.n_actions)
-    acfg = C.AIRLConfig(batch_size=min(100, args.buffer_size))
+    acfg = C.AIRLConfig(batch_size=min(100, args.buffer_size),
+                        epochs=args.disc_epochs, lr_step=args.disc_lr_step)
     x, y, mask = _load_pretrain_data(args, vocab)
     x, y, mask = jnp.asarray(x), jnp.asarray(y), jnp.asarray(mask)
 
@@ -635,6 +636,13 @@ def build_parser() -> argparse.ArgumentParser:
     d.add_argument("--pretrain-ckpt", default=None)
     d.add_argument("--retrain-disc", action="store_true")
     d.add_argument("--max-updates", type=int, default=None)
+    d.add_argument("--disc-epochs", type=int, default=5,
+                   help="AIRL discriminator epochs per training pass")
+    d.add_argument("--disc-lr-step", type=int, default=10,
+                   help="disc StepLR period in MINIBATCHES (the reference "
+                        "steps its scheduler per minibatch, AIRL.py:176, "
+                        "so lr dies ~30 minibatches in; raise for longer "
+                        "effective disc training)")
     d.add_argument("--dp", type=int, default=1)
     d.add_argument("--tp", type=int, default=1)
     d.set_defaults(fn=cmd_dqn_train)

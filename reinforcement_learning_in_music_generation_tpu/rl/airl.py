@@ -98,8 +98,20 @@ def disc_epoch(state: AIRLState, mcfg: WindowTransformerConfig, tx,
 @functools.partial(jax.jit, static_argnames=("mcfg", "batch_size"))
 def calculate_reward(state: AIRLState, mcfg: WindowTransformerConfig,
                      states, masks, batch_size: int = 100) -> jax.Array:
-    """Score a whole buffer (AIRL.py:69-90): (N, S, 6) -> (N, 1), eval-mode
-    (frozen BN running stats), batchwise scan."""
+    """Score a whole buffer (AIRL.py:69-90): (N, S, 6) -> (N, 1), batchwise
+    scan, no grad, BN state not persisted.
+
+    BN mode: the reference's calculate_reward calls `disc_model.eval()`
+    (AIRL.py:75) but its `all_forward` immediately re-enters
+    `disc_model.train()` (AIRL.py:63), so the reference ACTUALLY scores
+    with per-batch BN statistics — and that is also the only mode in which
+    this architecture separates: disc_step normalizes expert and agent
+    minibatches separately in training, which strips the class-mean signal
+    from the running stats, so frozen-stats eval scoring comes out
+    near-0.5 or inverted (measured r3: train-mode BCE 0.004 yet eval
+    scores agent 0.84 / expert 0.29).  train=True batch-stats scoring here
+    reproduces the behavior the reference's curves were made with; the
+    updated running stats are discarded (state is not returned)."""
     n = states.shape[0]
     nb = n // batch_size
     cut = nb * batch_size
@@ -109,14 +121,14 @@ def calculate_reward(state: AIRLState, mcfg: WindowTransformerConfig,
     def body(_, inp):
         s, m = inp
         score, _ = lf.score_forward(state.params, mcfg, s, m, state.bn_state,
-                                    train=False, deterministic=True)
+                                    train=True, deterministic=True)
         return None, score
 
     _, scores = jax.lax.scan(body, None, (ss, mm))
     scores = scores.reshape(cut, 1)
     if cut < n:  # ragged tail
         tail, _ = lf.score_forward(state.params, mcfg, states[cut:], masks[cut:],
-                                   state.bn_state, train=False, deterministic=True)
+                                   state.bn_state, train=True, deterministic=True)
         scores = jnp.concatenate([scores, tail], axis=0)
     return scores
 

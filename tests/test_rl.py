@@ -327,3 +327,27 @@ def test_ppo_rollout_sharded_matches_single_device():
     np.testing.assert_allclose(np.asarray(ref_a["reward"]),
                                np.asarray(got_a["reward"]), rtol=1e-4,
                                atol=1e-5)
+
+
+def test_airl_disc_separates_on_separable_data():
+    """Learning-effect regression (VERDICT r2 #3): on trivially separable
+    expert/agent buffers the discriminator must pull mean scores apart —
+    expert -> 1, agent -> 0 — through calculate_reward's batch-stats BN
+    scoring (the mode the reference actually runs: AIRL.py:63 re-enters
+    train() inside its eval scoring path; frozen-stats scoring measurably
+    inverts, see airl.calculate_reward docstring)."""
+    from reinforcement_learning_in_music_generation_tpu.train import optim
+    acfg = C.AIRLConfig(epochs=30, batch_size=16, lr_step=100000,
+                        score_batch_size=16)
+    st = airl.init_state(jax.random.PRNGKey(0), TINY_W, acfg)
+    tx = airl.make_optimizer(acfg)
+    n, S = 32, 10
+    expert = jax.random.randint(jax.random.PRNGKey(1), (n, S, 6), 0, 4)
+    agent = jax.random.randint(jax.random.PRNGKey(2), (n, S, 6), 4, 8)
+    masks = jnp.ones((n, S))
+    _, agent_r, expert_r, hist = airl.update_disc(
+        st, TINY_W, acfg, tx, {"state": agent},
+        {"state": expert, "mask_state": masks}, jax.random.PRNGKey(3))
+    assert hist[-1]["global_loss"] < hist[0]["global_loss"]
+    assert float(expert_r.mean()) > 0.7, float(expert_r.mean())
+    assert float(agent_r.mean()) < 0.3, float(agent_r.mean())
