@@ -177,7 +177,7 @@ def cmd_my_pretrain(args):
                             lr_gamma=args.lr_gamma)
     if args.reward_pretrain:
         from reinforcement_learning_in_music_generation_tpu.models import longformer as lf
-        mcfg = C.ppo_reward_config(vocab)
+        mcfg = C.ppo_reward_config(vocab, n_layer=args.reward_layers)
         params = lf.init_params(jax.random.PRNGKey(args.seed), mcfg)
         pretrain_lib.pretrain(params, mcfg, x, y, mask, pcfg,
                               step_fn=longformer_lm_step,
@@ -395,6 +395,13 @@ def cmd_ppo_train(args):
     if args.pretrain_actor:
         from reinforcement_learning_in_music_generation_tpu.utils import load_checkpoint
         actor_params = load_checkpoint(args.pretrain_actor)["params"]
+    if args.pretrain_reward:
+        # reward model from `my-pretrain --reward-pretrain` (the reference
+        # loads its trained IRL/reward ckpt, ppo_train.py:430-447; with a
+        # random-init reward model eval_score is a flat ~0.5 and the PPO
+        # reward curve has nothing to climb)
+        from reinforcement_learning_in_music_generation_tpu.utils import load_checkpoint
+        reward_params = load_checkpoint(args.pretrain_reward)["params"]
     rng = jax.random.PRNGKey(cfg.seed)
     state = ppo.init_state(rng, acfg, ccfg, rcfg, cfg,
                            actor_params=actor_params,
@@ -617,6 +624,9 @@ def build_parser() -> argparse.ArgumentParser:
     d.add_argument("--lr-gamma", type=float, default=0.1)
     train_common(d)
     d.add_argument("--reward-pretrain", action="store_true")
+    d.add_argument("--reward-layers", type=int, default=12,
+                   help="reward-model depth (ppo-train's default reward is "
+                        "layers-2, i.e. 10 for the 12L actor)")
     d.set_defaults(fn=cmd_my_pretrain)
 
     d = sub.add_parser("data-midi", help="decode a dataset row to MIDI")
@@ -655,6 +665,8 @@ def build_parser() -> argparse.ArgumentParser:
     d.add_argument("--n-actions", type=int, default=25)
     d.add_argument("--ppo-steps", type=int, default=10)
     d.add_argument("--pretrain-actor", default=None)
+    d.add_argument("--pretrain-reward", default=None,
+                   help="reward-model ckpt from my-pretrain --reward-pretrain")
     d.add_argument("--dp", type=int, default=1)
     d.add_argument("--tp", type=int, default=1)
     d.add_argument("--compat-forward-returns", action="store_true",

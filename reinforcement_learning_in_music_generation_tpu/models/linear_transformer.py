@@ -94,6 +94,15 @@ def _merge_heads(x: jax.Array) -> jax.Array:
     return x.transpose(0, 2, 1, 3).reshape(b, s, h * dh)
 
 
+def _ffn_backend() -> str:
+    """FFN-tail backend for the training forward.  "pallas" routes the
+    ffn1->gelu->dropout->ffn2->dropout->residual->LN2 tail through the
+    fused kernel (ops/ffn_block.py, custom VJP, on-core PRNG dropout);
+    "xla" is the unfused composition.  RLMG_FFN_BACKEND overrides."""
+    import os
+    return os.environ.get("RLMG_FFN_BACKEND", "xla")
+
+
 def _layer_forward(cfg: LinearTransformerConfig, h: jax.Array, lp: dict,
                    rng: Optional[jax.Array], deterministic: bool,
                    attn_backend: Optional[str]) -> jax.Array:
@@ -108,6 +117,18 @@ def _layer_forward(cfg: LinearTransformerConfig, h: jax.Array, lp: dict,
                                   chunk=cfg.attn_chunk)
     att = cm.linear(lp["wo"], _merge_heads(att))
     h = cm.layernorm(lp["ln1"], h + cm.dropout(r1, att, cfg.dropout, deterministic))
+    if h.ndim == 3 and _ffn_backend() == "pallas":
+        from ..ops.ffn_block import ffn_block
+        b, s, d = h.shape
+        p = 0.0 if deterministic else cfg.dropout
+        seed = (jax.random.randint(r2, (), 0, 2 ** 30, dtype=jnp.int32)
+                if (r2 is not None and p > 0.0) else jnp.int32(0))
+        import os as _os
+        out = ffn_block(h.reshape(b * s, d), lp["ffn1"]["w"], lp["ffn1"]["b"],
+                        lp["ffn2"]["w"], lp["ffn2"]["b"],
+                        lp["ln2"]["scale"], lp["ln2"]["bias"], seed, p,
+                        256, _os.environ.get("RLMG_FFN_INTERPRET") == "1")
+        return out.reshape(b, s, d)
     y = jax.nn.gelu(cm.linear(lp["ffn1"], h), approximate=False)
     y = cm.dropout(r2, y, cfg.dropout, deterministic)
     y = cm.linear(lp["ffn2"], y)
