@@ -255,7 +255,8 @@ def cmd_dqn_train(args):
                       buffer_size=args.buffer_size, batch_size=args.batch_size,
                       n_states=args.n_states, n_actions=args.n_actions)
     acfg = C.AIRLConfig(batch_size=min(100, args.buffer_size),
-                        epochs=args.disc_epochs, lr_step=args.disc_lr_step)
+                        epochs=args.disc_epochs, lr_step=args.disc_lr_step,
+                        lr=args.disc_lr)
     x, y, mask = _load_pretrain_data(args, vocab)
     x, y, mask = jnp.asarray(x), jnp.asarray(y), jnp.asarray(mask)
 
@@ -648,6 +649,11 @@ def build_parser() -> argparse.ArgumentParser:
     d.add_argument("--max-updates", type=int, default=None)
     d.add_argument("--disc-epochs", type=int, default=5,
                    help="AIRL discriminator epochs per training pass")
+    d.add_argument("--disc-lr", type=float, default=0.001,
+                   help="disc Adam lr (reference default 1e-3 collapses "
+                        "the 10L discriminator to constant 0.5 on v5e "
+                        "runs — BCEs pin at ln2; 1e-4 separates cleanly, "
+                        "BENCH.md r3)")
     d.add_argument("--disc-lr-step", type=int, default=10,
                    help="disc StepLR period in MINIBATCHES (the reference "
                         "steps its scheduler per minibatch, AIRL.py:176, "

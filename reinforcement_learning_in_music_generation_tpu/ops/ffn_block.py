@@ -44,7 +44,7 @@ try:
 except Exception:  # pragma: no cover
     pltpu = None
 
-from .decode_kernel_v3 import _gelu_exact
+from .decode_kernel_v3 import _erf, _gelu_exact
 
 LN_EPS = 1e-5
 
@@ -57,10 +57,13 @@ def _uniform_from_bits(bits):
 
 
 def _dgelu(x):
-    """d/dx gelu_exact(x) = Phi(x) + x * phi(x)."""
+    """d/dx gelu_exact(x) = Phi(x) + x * phi(x).
+
+    Phi via the same A&S-7.1.26 erf polynomial as the forward
+    (decode_kernel_v3._erf): Mosaic has no lowering for lax.erf."""
     import math
     phi = jnp.exp(-0.5 * x * x) * (1.0 / math.sqrt(2.0 * math.pi))
-    cdf = 0.5 * (1.0 + jax.lax.erf(x * (1.0 / math.sqrt(2.0))))
+    cdf = 0.5 * (1.0 + _erf(x * (1.0 / math.sqrt(2.0))))
     return cdf + x * phi
 
 
