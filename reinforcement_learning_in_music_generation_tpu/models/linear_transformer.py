@@ -127,7 +127,8 @@ def _layer_forward(cfg: LinearTransformerConfig, h: jax.Array, lp: dict,
         out = ffn_block(h.reshape(b * s, d), lp["ffn1"]["w"], lp["ffn1"]["b"],
                         lp["ffn2"]["w"], lp["ffn2"]["b"],
                         lp["ln2"]["scale"], lp["ln2"]["bias"], seed, p,
-                        256, _os.environ.get("RLMG_FFN_INTERPRET") == "1")
+                        int(_os.environ.get("RLMG_FFN_BLOCK", "256")),
+                        _os.environ.get("RLMG_FFN_INTERPRET") == "1")
         return out.reshape(b, s, d)
     y = jax.nn.gelu(cm.linear(lp["ffn1"], h), approximate=False)
     y = cm.dropout(r2, y, cfg.dropout, deterministic)
