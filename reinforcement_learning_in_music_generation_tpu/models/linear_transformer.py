@@ -98,7 +98,9 @@ def _ffn_backend() -> str:
     """FFN-tail backend for the training forward.  "pallas" routes the
     ffn1->gelu->dropout->ffn2->dropout->residual->LN2 tail through the
     fused kernel (ops/ffn_block.py, custom VJP, on-core PRNG dropout);
-    "xla" is the unfused composition.  RLMG_FFN_BACKEND overrides."""
+    "pallas-tail" additionally fuses Wo + attention-dropout + residual +
+    LN1 (ops/ffn_block.py:attn_tail_block); "xla" is the unfused
+    composition.  RLMG_FFN_BACKEND overrides."""
     import os
     return os.environ.get("RLMG_FFN_BACKEND", "xla")
 
@@ -115,6 +117,25 @@ def _layer_forward(cfg: LinearTransformerConfig, h: jax.Array, lp: dict,
     att = causal_linear_attention(q, k, v, eps=cfg.attn_eps,
                                   backend=attn_backend or cfg.attn_backend,
                                   chunk=cfg.attn_chunk)
+    if h.ndim == 3 and _ffn_backend() == "pallas-tail":
+        # whole post-attention tail (Wo + drop + res + LN1 + FFN + LN2)
+        # in one fused kernel (ops/ffn_block.py:attn_tail_block)
+        from ..ops.ffn_block import attn_tail_block
+        import os as _os
+        b, s, d = h.shape
+        p = 0.0 if deterministic else cfg.dropout
+        seed = (jax.random.randint(r1, (), 0, 2 ** 30, dtype=jnp.int32)
+                if (r1 is not None and p > 0.0) else jnp.int32(0))
+        out = attn_tail_block(
+            h.reshape(b * s, d), _merge_heads(att).reshape(b * s, d),
+            lp["wo"]["w"], lp["wo"]["b"],
+            lp["ln1"]["scale"], lp["ln1"]["bias"],
+            lp["ffn1"]["w"], lp["ffn1"]["b"],
+            lp["ffn2"]["w"], lp["ffn2"]["b"],
+            lp["ln2"]["scale"], lp["ln2"]["bias"], seed, p,
+            int(_os.environ.get("RLMG_FFN_BLOCK", "256")),
+            _os.environ.get("RLMG_FFN_INTERPRET") == "1")
+        return out.reshape(b, s, d)
     att = cm.linear(lp["wo"], _merge_heads(att))
     h = cm.layernorm(lp["ln1"], h + cm.dropout(r1, att, cfg.dropout, deterministic))
     if h.ndim == 3 and _ffn_backend() == "pallas":

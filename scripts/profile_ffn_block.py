@@ -27,9 +27,9 @@ def run_one(backend: str):
                       "step_s": round(el, 4)}))
 
 
-def main():
+def main(backends=("xla", "pallas")):
     out = {}
-    for backend in ("xla", "pallas"):
+    for backend in backends:
         env = dict(os.environ)
         env.pop("XLA_FLAGS", None)
         env["RLMG_FFN_BACKEND"] = backend
@@ -44,13 +44,17 @@ def main():
         r = json.loads(line[-1])
         out[backend] = r
         print(f"{backend}: {r['tok_s']:,.0f} tok/s ({r['step_s']*1e3:.1f} ms/step)")
-    if len(out) == 2:
-        speedup = out["pallas"]["tok_s"] / out["xla"]["tok_s"]
-        print(f"pallas/xla: {speedup:.3f}x")
+    if len(out) >= 2:
+        base = list(out)[0]
+        for b in list(out)[1:]:
+            speedup = out[b]["tok_s"] / out[base]["tok_s"]
+            print(f"{b}/{base}: {speedup:.3f}x")
 
 
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "one":
         run_one(sys.argv[2])
+    elif len(sys.argv) > 1:
+        main(tuple(sys.argv[1:]))
     else:
         main()

@@ -101,3 +101,98 @@ def test_full_forward_matches_with_pallas_ffn(monkeypatch):
     got = lt.forward_hidden(params, cfg, x, deterministic=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=2e-3, atol=2e-3)
+
+
+def _tail_params(key, dtype=jnp.float32):
+    ks = jax.random.split(key, 3)
+    wow = jax.random.normal(ks[0], (D, D), dtype) * 0.05
+    wob = jax.random.normal(ks[1], (D,), dtype) * 0.05
+    l1s = jnp.full((D,), 0.9, dtype)
+    l1b = jnp.full((D,), -0.2, dtype)
+    return (wow, wob, l1s, l1b) + _params(ks[2])
+
+
+def _tail_ref(h_in, a_pre, wow, wob, l1s, l1b, w1, b1, w2, b2, l2s, l2b):
+    a = a_pre @ wow + wob
+    r1 = h_in + a
+    mu = jnp.mean(r1, axis=-1, keepdims=True)
+    var = jnp.mean((r1 - mu) ** 2, axis=-1, keepdims=True)
+    h1 = (r1 - mu) * jax.lax.rsqrt(var + 1e-5) * l1s + l1b
+    return _ref(h1, w1, b1, w2, b2, l2s, l2b)
+
+
+def test_attn_tail_forward_matches_xla():
+    h = jax.random.normal(jax.random.PRNGKey(10), (100, D))
+    a = jax.random.normal(jax.random.PRNGKey(11), (100, D))
+    wow, wob, l1s, l1b, w1, b1, w2, b2, l2s, l2b = _tail_params(
+        jax.random.PRNGKey(12))
+    out = fb.attn_tail_block(h, a, wow, wob, l1s, l1b, w1, b1, w2, b2,
+                             l2s, l2b, jnp.int32(0), 0.0, 32, True)
+    ref = _tail_ref(h, a, wow, wob, l1s, l1b, w1, b1, w2, b2, l2s, l2b)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-3, atol=2e-3)
+
+
+def test_attn_tail_grads_match_xla():
+    h = jax.random.normal(jax.random.PRNGKey(13), (64, D))
+    a = jax.random.normal(jax.random.PRNGKey(14), (64, D))
+    args = _tail_params(jax.random.PRNGKey(15))
+    argnums = tuple(range(12))
+
+    def loss_k(h, a, *w):
+        o = fb.attn_tail_block(h, a, *w, jnp.int32(0), 0.0, 32, True)
+        return jnp.sum(jnp.sin(o))
+
+    def loss_r(h, a, *w):
+        return jnp.sum(jnp.sin(_tail_ref(h, a, *w)))
+
+    gk = jax.grad(loss_k, argnums=argnums)(h, a, *args)
+    gr = jax.grad(loss_r, argnums=argnums)(h, a, *args)
+    names = ["dh", "dap", "dwow", "dwob", "dl1s", "dl1b", "dw1", "db1",
+             "dw2", "db2", "dl2s", "dl2b"]
+    for n, x, y in zip(names, gk, gr):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                   rtol=5e-3, atol=5e-3, err_msg=n)
+
+
+def test_attn_tail_dropout_masks_consistent():
+    """Same seed => grad matches the finite-difference slope (the three
+    in-kernel masks must be identical in fwd and bwd)."""
+    try:
+        h = jax.random.normal(jax.random.PRNGKey(16), (32, D))
+        a = jax.random.normal(jax.random.PRNGKey(17), (32, D))
+        args = _tail_params(jax.random.PRNGKey(18))
+        p, seed = 0.3, jnp.int32(11)
+
+        def f(h):
+            return jnp.sum(fb.attn_tail_block(h, a, *args, seed, p, 32,
+                                              True))
+
+        v = jax.random.normal(jax.random.PRNGKey(19), h.shape) * 1e-3
+        g = jax.grad(f)(h)
+        lhs = float(jnp.vdot(g, v))
+        rhs = float((f(h + v) - f(h - v)) / 2.0)
+        assert abs(lhs - rhs) < 5e-3 * max(1.0, abs(rhs)), (lhs, rhs)
+    except NotImplementedError as e:  # pragma: no cover
+        import pytest
+        pytest.skip(f"pallas PRNG not emulated in interpret mode: {e}")
+
+
+def test_full_forward_matches_with_pallas_tail(monkeypatch):
+    """Integrated path: RLMG_FFN_BACKEND=pallas-tail (interpret) matches
+    the XLA composition on the full tiny model."""
+    from reinforcement_learning_in_music_generation_tpu import config as C
+    from reinforcement_learning_in_music_generation_tpu.models import (
+        linear_transformer as lt)
+
+    cfg = C.LinearTransformerConfig(
+        vocab_sizes=(8,) * 6, emb_sizes=(8,) * 6, d_model=32, n_layer=2,
+        n_head=2, d_inner=64)
+    params = lt.init_params(jax.random.PRNGKey(0), cfg)
+    x = jax.random.randint(jax.random.PRNGKey(1), (2, 16, 6), 0, 8)
+    ref = lt.forward_hidden(params, cfg, x, deterministic=True)
+    monkeypatch.setenv("RLMG_FFN_BACKEND", "pallas-tail")
+    monkeypatch.setenv("RLMG_FFN_INTERPRET", "1")
+    got = lt.forward_hidden(params, cfg, x, deterministic=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-3, atol=2e-3)
