@@ -100,9 +100,24 @@ def _ffn_backend() -> str:
     fused kernel (ops/ffn_block.py, custom VJP, on-core PRNG dropout);
     "pallas-tail" additionally fuses Wo + attention-dropout + residual +
     LN1 (ops/ffn_block.py:attn_tail_block); "xla" is the unfused
-    composition.  RLMG_FFN_BACKEND overrides."""
+    composition.  RLMG_FFN_BACKEND overrides.
+
+    Default: "pallas-tail" on a single-device TPU process (measured
+    +16.3% train step over xla at the bench shape, BENCH.md r3), else
+    "xla".  Multi-device stays xla by default because under tensor
+    parallelism the FFN second matmul produces PARTIAL sums that need a
+    psum before the residual+LN — fusing LN into the kernel would
+    normalize partials; GSPMD also can't partition the opaque
+    pallas_call efficiently.  Mesh users can still force a fused backend
+    explicitly when running dp-only (batch rows shard cleanly)."""
     import os
-    return os.environ.get("RLMG_FFN_BACKEND", "xla")
+    v = os.environ.get("RLMG_FFN_BACKEND")
+    if v:
+        return v
+    import jax
+    if jax.default_backend() == "tpu" and jax.device_count() == 1:
+        return "pallas-tail"
+    return "xla"
 
 
 def _layer_forward(cfg: LinearTransformerConfig, h: jax.Array, lp: dict,
@@ -111,23 +126,28 @@ def _layer_forward(cfg: LinearTransformerConfig, h: jax.Array, lp: dict,
     r1 = r2 = r3 = None
     if not deterministic and rng is not None:
         r1, r2, r3 = jax.random.split(rng, 3)
-    q = _split_heads(cm.linear(lp["wq"], h), cfg.n_head)
-    k = _split_heads(cm.linear(lp["wk"], h), cfg.n_head)
-    v = _split_heads(cm.linear(lp["wv"], h), cfg.n_head)
-    att = causal_linear_attention(q, k, v, eps=cfg.attn_eps,
-                                  backend=attn_backend or cfg.attn_backend,
-                                  chunk=cfg.attn_chunk)
     if h.ndim == 3 and _ffn_backend() == "pallas-tail":
         # whole post-attention tail (Wo + drop + res + LN1 + FFN + LN2)
-        # in one fused kernel (ops/ffn_block.py:attn_tail_block)
+        # in one fused kernel (ops/ffn_block.py:attn_tail_block), with the
+        # attention run in head-minor (B,S,H,E) layout so q/k/v/att are
+        # plain reshapes — no materialized head transposes at the opaque
+        # kernel boundary (r3 trace: those copies were ~10ms of a 58ms
+        # step)
         from ..ops.ffn_block import attn_tail_block
+        from ..ops.linear_attention import causal_linear_attention_bshe
         import os as _os
         b, s, d = h.shape
+        dh = d // cfg.n_head
+        bshe = lambda x: x.reshape(b, s, cfg.n_head, dh)
+        att = causal_linear_attention_bshe(
+            bshe(cm.linear(lp["wq"], h)), bshe(cm.linear(lp["wk"], h)),
+            bshe(cm.linear(lp["wv"], h)), eps=cfg.attn_eps,
+            chunk=cfg.attn_chunk)
         p = 0.0 if deterministic else cfg.dropout
         seed = (jax.random.randint(r1, (), 0, 2 ** 30, dtype=jnp.int32)
                 if (r1 is not None and p > 0.0) else jnp.int32(0))
         out = attn_tail_block(
-            h.reshape(b * s, d), _merge_heads(att).reshape(b * s, d),
+            h.reshape(b * s, d), att.reshape(b * s, d),
             lp["wo"]["w"], lp["wo"]["b"],
             lp["ln1"]["scale"], lp["ln1"]["bias"],
             lp["ffn1"]["w"], lp["ffn1"]["b"],
@@ -136,6 +156,12 @@ def _layer_forward(cfg: LinearTransformerConfig, h: jax.Array, lp: dict,
             int(_os.environ.get("RLMG_FFN_BLOCK", "256")),
             _os.environ.get("RLMG_FFN_INTERPRET") == "1")
         return out.reshape(b, s, d)
+    q = _split_heads(cm.linear(lp["wq"], h), cfg.n_head)
+    k = _split_heads(cm.linear(lp["wk"], h), cfg.n_head)
+    v = _split_heads(cm.linear(lp["wv"], h), cfg.n_head)
+    att = causal_linear_attention(q, k, v, eps=cfg.attn_eps,
+                                  backend=attn_backend or cfg.attn_backend,
+                                  chunk=cfg.attn_chunk)
     att = cm.linear(lp["wo"], _merge_heads(att))
     h = cm.layernorm(lp["ln1"], h + cm.dropout(r1, att, cfg.dropout, deterministic))
     if h.ndim == 3 and _ffn_backend() == "pallas":

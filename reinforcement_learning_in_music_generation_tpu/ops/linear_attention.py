@@ -497,3 +497,143 @@ def linear_attention_step(q, k, v, state, *, eps: float = DEFAULT_EPS):
     num = jnp.einsum("bhe,bhef->bhf", pq, s_c)
     den = jnp.einsum("bhe,bhe->bh", pq, z_c) + eps
     return num / den[..., None], (s_c, z_c)
+
+
+# ---------------------------------------------------------------------------
+# (B, S, H, E)-native layout variant — zero head transposes
+# ---------------------------------------------------------------------------
+#
+# The standard path works in (B, H, S, E), which forces a materialized
+# (B,S,H,E)<->(B,H,S,E) layout copy on each side of every layer once the
+# post-attention tail is an opaque pallas_call (attn_tail_block pins its
+# operand layouts, so XLA can no longer fuse the _split/_merge_heads
+# transposes into neighbors; r3 trace: 96 copies x ~108us = ~10ms of a
+# 58ms step).  This variant keeps the head axis where the projections
+# naturally produce it — q/k/v are plain reshapes of the (N, D) matmul
+# outputs — and runs the identical chunked recurrence with einsums
+# written for (b, i, h, e).  Chunks are sliced in a static python loop
+# (free views; the r2 scan-unroll finding) and re-joined with a
+# contiguous concatenate instead of transposes.  Numerics are identical
+# to _fwd_xla/_bwd_xla modulo summation order (same einsum contractions,
+# same mask, same carries).
+
+def _fwd_xla_bshe(q, k, v, eps, chunk):
+    """(B, S, H, E) x (B, S, H, F) -> out (B, S, H, F), den (B, S, H)."""
+    b, s0, h, e = q.shape
+    f = v.shape[-1]
+    pad = (-s0) % chunk
+    if pad:
+        p4 = ((0, 0), (0, pad), (0, 0), (0, 0))
+        q, k, v = jnp.pad(q, p4), jnp.pad(k, p4), jnp.pad(v, p4)
+    nc = q.shape[1] // chunk
+    mask = _causal_mask(chunk, q.dtype)
+    s_c = jnp.einsum("bjhe,bjhf->bhef", k[:, :1], v[:, :1]) * 0.0
+    z_c = jnp.einsum("bjhe->bhe", k[:, :1]) * 0.0
+    outs, dens = [], []
+    for j in range(nc):
+        sl = slice(j * chunk, (j + 1) * chunk)
+        qb, kb, vb = q[:, sl], k[:, sl], v[:, sl]
+        a = jnp.einsum("bihe,bjhe->bhij", qb, kb) * mask
+        num = (jnp.einsum("bhij,bjhf->bihf", a, vb)
+               + jnp.einsum("bihe,bhef->bihf", qb, s_c))
+        den = (jnp.einsum("bhij->bih", a)
+               + jnp.einsum("bihe,bhe->bih", qb, z_c))
+        outs.append(num / (den + eps)[..., None])
+        dens.append(den)
+        s_c = s_c + jnp.einsum("bjhe,bjhf->bhef", kb, vb)
+        z_c = z_c + jnp.einsum("bjhe->bhe", kb)
+    out = jnp.concatenate(outs, axis=1)[:, :s0]
+    den = jnp.concatenate(dens, axis=1)[:, :s0]
+    return out, den
+
+
+def _bwd_xla_bshe(q, k, v, out, den, g, eps, chunk):
+    """Analytic backward in (B, S, H, *) layout; returns (dq, dk, dv)."""
+    b, s0, h, e = q.shape
+    f = v.shape[-1]
+    dnum = g / (den + eps)[..., None]                       # (B,S,H,F)
+    dden = -jnp.sum(g * out, axis=-1) / (den + eps)         # (B,S,H)
+    pad = (-s0) % chunk
+    if pad:
+        p4 = ((0, 0), (0, pad), (0, 0), (0, 0))
+        q, k, v = jnp.pad(q, p4), jnp.pad(k, p4), jnp.pad(v, p4)
+        dnum = jnp.pad(dnum, p4)
+        dden = jnp.pad(dden, ((0, 0), (0, pad), (0, 0)))
+    nc = q.shape[1] // chunk
+    lower = _causal_mask(chunk, q.dtype)                    # i >= j
+    upper = lower.T
+
+    def blk(x, j):
+        return x[:, j * chunk:(j + 1) * chunk]
+
+    # forward pass: dq needs prefix S/z of previous chunks
+    s_c = jnp.einsum("bjhe,bjhf->bhef", k[:, :1], v[:, :1]) * 0.0
+    z_c = jnp.einsum("bjhe->bhe", k[:, :1]) * 0.0
+    dqs = []
+    for j in range(nc):
+        qb, kb, vb = blk(q, j), blk(k, j), blk(v, j)
+        dnb, ddb = blk(dnum, j), blk(dden, j)
+        bmat = jnp.einsum("bihf,bjhf->bhij", dnb, vb)
+        m = (bmat + jnp.einsum("bih->bhi", ddb)[..., None]) * lower
+        dq = jnp.einsum("bhij,bjhe->bihe", m, kb)
+        dq += jnp.einsum("bihf,bhef->bihe", dnb, s_c)
+        dq += ddb[..., None] * z_c[:, None]
+        dqs.append(dq)
+        s_c = s_c + jnp.einsum("bjhe,bjhf->bhef", kb, vb)
+        z_c = z_c + jnp.einsum("bjhe->bhe", kb)
+
+    # reverse pass: dk/dv need suffix sums G, gz
+    g_c = jnp.einsum("bjhe,bjhf->bhef", k[:, :1], v[:, :1]) * 0.0
+    gz_c = jnp.einsum("bjhe->bhe", k[:, :1]) * 0.0
+    dks, dvs = [], []
+    for j in reversed(range(nc)):
+        qb, kb, vb = blk(q, j), blk(k, j), blk(v, j)
+        dnb, ddb = blk(dnum, j), blk(dden, j)
+        cmat = jnp.einsum("bjhf,bihf->bhji", vb, dnb)
+        n = (cmat + jnp.einsum("bih->bhi", ddb)[:, :, None]) * upper
+        dk = jnp.einsum("bhji,bihe->bjhe", n, qb)
+        dk += jnp.einsum("bjhf,bhef->bjhe", vb, g_c)
+        dk += gz_c[:, None]
+        p = jnp.einsum("bjhe,bihe->bhji", kb, qb) * upper
+        dv = jnp.einsum("bhji,bihf->bjhf", p, dnb)
+        dv += jnp.einsum("bjhe,bhef->bjhf", kb, g_c)
+        dks.append(dk)
+        dvs.append(dv)
+        g_c = g_c + jnp.einsum("bihe,bihf->bhef", qb, dnb)
+        gz_c = gz_c + jnp.einsum("bih,bihe->bhe", ddb, qb)
+
+    dq = jnp.concatenate(dqs, axis=1)[:, :s0]
+    dk = jnp.concatenate(list(reversed(dks)), axis=1)[:, :s0]
+    dv = jnp.concatenate(list(reversed(dvs)), axis=1)[:, :s0]
+    return dq, dk, dv
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _core_bshe(phi_q, phi_k, v, eps, chunk):
+    out, _ = _fwd_xla_bshe(phi_q, phi_k, v, eps, chunk)
+    return out
+
+
+def _core_bshe_fwd(phi_q, phi_k, v, eps, chunk):
+    out, den = _fwd_xla_bshe(phi_q, phi_k, v, eps, chunk)
+    return out, (phi_q, phi_k, v, out, den)
+
+
+def _core_bshe_bwd(eps, chunk, res, g):
+    phi_q, phi_k, v, out, den = res
+    return _bwd_xla_bshe(phi_q, phi_k, v, out, den, g, eps, chunk)
+
+
+_core_bshe.defvjp(_core_bshe_fwd, _core_bshe_bwd)
+
+
+def causal_linear_attention_bshe(q: jax.Array, k: jax.Array, v: jax.Array,
+                                 *, eps: float = DEFAULT_EPS,
+                                 chunk: int = _DEF_CHUNK) -> jax.Array:
+    """Causal linear attention over (B, S, H, E) -> (B, S, H, F).
+
+    Same math as causal_linear_attention (elu+1 feature map + custom-VJP
+    chunked recurrence) in the head-minor layout, so callers that keep
+    activations (N, D)-shaped (the fused-tail training path) never
+    transpose the head axis."""
+    return _core_bshe(feature_map(q), feature_map(k), v, eps, chunk)

@@ -95,3 +95,36 @@ def test_recurrent_step_matches_parallel():
         outs.append(o)
     out_rec = jnp.stack(outs, axis=2)
     np.testing.assert_allclose(out_rec, out_par, rtol=1e-4, atol=1e-4)
+
+
+def test_bshe_layout_matches_bhse():
+    """causal_linear_attention_bshe == causal_linear_attention on
+    transposed inputs/outputs, forward and all three gradients."""
+    from reinforcement_learning_in_music_generation_tpu.ops.linear_attention import (
+        causal_linear_attention, causal_linear_attention_bshe)
+    B, H, S, E = 2, 3, 70, 16    # ragged S exercises the chunk padding
+    ks = jax.random.split(jax.random.PRNGKey(42), 3)
+    q = jax.random.normal(ks[0], (B, H, S, E))
+    k = jax.random.normal(ks[1], (B, H, S, E))
+    v = jax.random.normal(ks[2], (B, H, S, E))
+    t = lambda x: jnp.transpose(x, (0, 2, 1, 3))
+
+    ref = causal_linear_attention(q, k, v, backend="xla", chunk=32)
+    got = causal_linear_attention_bshe(t(q), t(k), t(v), chunk=32)
+    np.testing.assert_allclose(np.asarray(t(got)), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
+
+    def loss_ref(q, k, v):
+        o = causal_linear_attention(q, k, v, backend="xla", chunk=32)
+        return jnp.sum(jnp.sin(o))
+
+    def loss_bshe(q, k, v):
+        o = causal_linear_attention_bshe(t(q), t(k), t(v), chunk=32)
+        return jnp.sum(jnp.sin(t(o)))
+
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    gb = jax.grad(loss_bshe, argnums=(0, 1, 2))(q, k, v)
+    for name, a, b in zip("qkv", gr, gb):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=5e-4, atol=5e-4,
+                                   err_msg=f"d{name}")
