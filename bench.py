@@ -166,6 +166,7 @@ def bench_pretrain():
 
     cfg = C.agent_config(
         dtype=os.environ.get("RLMG_BENCH_TRAIN_DTYPE", "bfloat16"),
+        attn_chunk=int(os.environ.get("RLMG_BENCH_ATTN_CHUNK", "128")),
         scan_unroll=12)  # unrolled layer loop: kills the scan-bwd DUS/remat
     params = lt.init_params(jax.random.PRNGKey(0), cfg)
     tx = optim.adam(1e-4, grad_clip=3.0)
