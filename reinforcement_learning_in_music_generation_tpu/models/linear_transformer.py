@@ -94,7 +94,7 @@ def _merge_heads(x: jax.Array) -> jax.Array:
     return x.transpose(0, 2, 1, 3).reshape(b, s, h * dh)
 
 
-def _ffn_backend() -> str:
+def _ffn_backend(n_rows: int) -> str:
     """FFN-tail backend for the training forward.  "pallas" routes the
     ffn1->gelu->dropout->ffn2->dropout->residual->LN2 tail through the
     fused kernel (ops/ffn_block.py, custom VJP, on-core PRNG dropout);
@@ -113,11 +113,25 @@ def _ffn_backend() -> str:
     import os
     v = os.environ.get("RLMG_FFN_BACKEND")
     if v:
-        return v
+        return v      # explicit choice wins at any shape
     import jax
-    if jax.default_backend() == "tpu" and jax.device_count() == 1:
+    if (jax.default_backend() == "tpu" and jax.device_count() == 1
+            and n_rows >= _ffn_min_rows()):
         return "pallas-tail"
     return "xla"
+
+
+def _ffn_min_rows() -> int:
+    """Row threshold below which the fused-tail default falls back to xla.
+
+    At small N the kernel streams every layer's ~4.5MB of weights from
+    HBM per 256-row tile while the matmuls are tiny — weight traffic
+    dominates and XLA's fused-into-matmul glue is the better schedule.
+    The RL paths (forward_hidden over n_states~50-token windows, N~1.5K)
+    stay on their round-2-tuned XLA programs; the pretrain/discrim paths
+    (N>=16K) get the kernel.  RLMG_FFN_MIN_ROWS overrides."""
+    import os
+    return int(os.environ.get("RLMG_FFN_MIN_ROWS", "4096"))
 
 
 def _layer_forward(cfg: LinearTransformerConfig, h: jax.Array, lp: dict,
@@ -126,7 +140,7 @@ def _layer_forward(cfg: LinearTransformerConfig, h: jax.Array, lp: dict,
     r1 = r2 = r3 = None
     if not deterministic and rng is not None:
         r1, r2, r3 = jax.random.split(rng, 3)
-    if h.ndim == 3 and _ffn_backend() == "pallas-tail":
+    if h.ndim == 3 and _ffn_backend(h.shape[0] * h.shape[1]) == "pallas-tail":
         # whole post-attention tail (Wo + drop + res + LN1 + FFN + LN2)
         # in one fused kernel (ops/ffn_block.py:attn_tail_block), with the
         # attention run in head-minor (B,S,H,E) layout so q/k/v/att are
@@ -164,7 +178,7 @@ def _layer_forward(cfg: LinearTransformerConfig, h: jax.Array, lp: dict,
                                   chunk=cfg.attn_chunk)
     att = cm.linear(lp["wo"], _merge_heads(att))
     h = cm.layernorm(lp["ln1"], h + cm.dropout(r1, att, cfg.dropout, deterministic))
-    if h.ndim == 3 and _ffn_backend() == "pallas":
+    if h.ndim == 3 and _ffn_backend(h.shape[0] * h.shape[1]) == "pallas":
         from ..ops.ffn_block import ffn_block
         b, s, d = h.shape
         p = 0.0 if deterministic else cfg.dropout
