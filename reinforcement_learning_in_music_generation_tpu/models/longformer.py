@@ -136,6 +136,34 @@ def forward_from_embeddings(params: dict, cfg: WindowTransformerConfig,
         r1 = r2 = None
         if lr is not None:
             r1, r2 = jax.random.split(lr)
+        from .linear_transformer import _ffn_backend
+        if _ffn_backend(b * s) == "pallas-tail":
+            # fused post-attention tail (same kernel as the agent model,
+            # mid_drop=False: this layer has no post-gelu dropout) + the
+            # head-minor window attention so q/k/v/att never transpose
+            # at the opaque kernel boundary
+            from ..ops.ffn_block import attn_tail_block
+            from ..ops.window_attention import window_attention_bshe
+            import os as _os
+            bshe = lambda x: x.reshape(b, s, cfg.n_head, cfg.d_head)
+            att = window_attention_bshe(
+                bshe(cm.linear(lp["wq"], h)), bshe(cm.linear(lp["wk"], h)),
+                bshe(cm.linear(lp["wv"], h)), attention_mask,
+                window=cfg.attention_window, rel_emb=rel)
+            p = 0.0 if deterministic else cfg.dropout
+            seed = (jax.random.randint(r1, (), 0, 2 ** 30, dtype=jnp.int32)
+                    if (r1 is not None and p > 0.0) else jnp.int32(0))
+            out = attn_tail_block(
+                h.reshape(b * s, cfg.d_model),
+                att.reshape(b * s, cfg.d_model),
+                lp["wo"]["w"], lp["wo"]["b"],
+                lp["ln1"]["scale"], lp["ln1"]["bias"],
+                lp["ffn1"]["w"], lp["ffn1"]["b"],
+                lp["ffn2"]["w"], lp["ffn2"]["b"],
+                lp["ln2"]["scale"], lp["ln2"]["bias"], seed, p,
+                int(_os.environ.get("RLMG_FFN_BLOCK", "256")),
+                _os.environ.get("RLMG_FFN_INTERPRET") == "1", False)
+            return out.reshape(b, s, cfg.d_model)
         q = cm.linear(lp["wq"], h).reshape(b, s, cfg.n_head, cfg.d_head).transpose(0, 2, 1, 3)
         k = cm.linear(lp["wk"], h).reshape(b, s, cfg.n_head, cfg.d_head).transpose(0, 2, 1, 3)
         v = cm.linear(lp["wv"], h).reshape(b, s, cfg.n_head, cfg.d_head).transpose(0, 2, 1, 3)

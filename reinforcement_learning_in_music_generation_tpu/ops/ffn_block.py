@@ -280,7 +280,7 @@ ffn_block.defvjp(_ffn_fwd, _ffn_bwd)
 
 def _recompute_tail(h_in, a_pre, wow_ref, wob_ref, ln1s_ref, ln1b_ref,
                     w1_ref, b1_ref, w2_ref, b2_ref, seed_ref, tile,
-                    p: float, deterministic: bool):
+                    p: float, deterministic: bool, mid_drop: bool = True):
     """All forward intermediates for one row tile (shared fwd/bwd)."""
     inv = 1.0 / (1.0 - p)
     stoch = not (deterministic or p <= 0.0)
@@ -300,7 +300,7 @@ def _recompute_tail(h_in, a_pre, wow_ref, wob_ref, ln1s_ref, ln1b_ref,
     x1 = jax.lax.dot(h1.astype(w1_ref.dtype), w1_ref[...],
                      preferred_element_type=jnp.float32) + b1_ref[...]
     g = _gelu_exact(x1)
-    if stoch:
+    if stoch and mid_drop:
         bits2 = pltpu.bitcast(pltpu.prng_random_bits(g.shape), jnp.uint32)
         m2 = (_uniform_from_bits(bits2) >= p).astype(jnp.float32) * inv
         d2 = g * m2
@@ -321,11 +321,12 @@ def _recompute_tail(h_in, a_pre, wow_ref, wob_ref, ln1s_ref, ln1b_ref,
 def _tail_fwd_kernel(seed_ref, h_ref, ap_ref, wow_ref, wob_ref,
                      l1s_ref, l1b_ref, w1_ref, b1_ref, w2_ref, b2_ref,
                      l2s_ref, l2b_ref, out_ref,
-                     *, p: float, deterministic: bool):
+                     *, p: float, deterministic: bool, mid_drop: bool):
     tile = pl.program_id(0)
     *_, r2 = _recompute_tail(h_ref[...], ap_ref[...], wow_ref, wob_ref,
                              l1s_ref, l1b_ref, w1_ref, b1_ref, w2_ref,
-                             b2_ref, seed_ref, tile, p, deterministic)
+                             b2_ref, seed_ref, tile, p, deterministic,
+                             mid_drop)
     xhat, _ = _ln_stats(r2)
     out_ref[...] = (xhat * l2s_ref[...] + l2b_ref[...]).astype(out_ref.dtype)
 
@@ -335,13 +336,15 @@ def _tail_bwd_kernel(seed_ref, h_ref, ap_ref, wow_ref, wob_ref,
                      l2s_ref, dout_ref,
                      dh_ref, dap_ref, dwow_ref, dwob_ref, dl1s_ref,
                      dl1b_ref, dw1_ref, db1_ref, dw2_ref, db2_ref,
-                     dl2s_ref, dl2b_ref, *, p: float, deterministic: bool):
+                     dl2s_ref, dl2b_ref, *, p: float, deterministic: bool,
+                     mid_drop: bool):
     tile = pl.program_id(0)
     h_in = h_ref[...]
     a_pre = ap_ref[...]
     (a, m1, h1hat, rstd1, h1, x1, m2, d2, m3, r2) = _recompute_tail(
         h_in, a_pre, wow_ref, wob_ref, l1s_ref, l1b_ref,
-        w1_ref, b1_ref, w2_ref, b2_ref, seed_ref, tile, p, deterministic)
+        w1_ref, b1_ref, w2_ref, b2_ref, seed_ref, tile, p, deterministic,
+        mid_drop)
     xhat2, rstd2 = _ln_stats(r2)
     dout = dout_ref[...].astype(jnp.float32)
 
@@ -400,19 +403,23 @@ def _tail_bwd_kernel(seed_ref, h_ref, ap_ref, wow_ref, wob_ref,
         preferred_element_type=jnp.float32).astype(dap_ref.dtype)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(13, 14, 15))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(13, 14, 15, 16))
 def attn_tail_block(h_in, a_pre, wow, wob, ln1s, ln1b, w1, b1, w2, b2,
                     ln2s, ln2b, seed, p: float, block: int = 256,
-                    interpret: bool = False):
+                    interpret: bool = False, mid_drop: bool = True):
     """(h_in, a_pre) (N, D) -> LN2(h1 + FFN-tail(h1)), h1 = LN1(h_in +
-    drop(Wo @ a_pre)), fully fused.  `seed` as in ffn_block."""
+    drop(Wo @ a_pre)), fully fused.  `seed` as in ffn_block.
+
+    `mid_drop=False` omits the post-gelu dropout site (the Longformer/BERT
+    layer convention, models/longformer.py: dropout only after the
+    attention projection and after ffn2)."""
     out, _ = _tail_fwd(h_in, a_pre, wow, wob, ln1s, ln1b, w1, b1, w2, b2,
-                       ln2s, ln2b, seed, p, block, interpret)
+                       ln2s, ln2b, seed, p, block, interpret, mid_drop)
     return out
 
 
 def _tail_fwd(h_in, a_pre, wow, wob, ln1s, ln1b, w1, b1, w2, b2,
-              ln2s, ln2b, seed, p, block, interpret):
+              ln2s, ln2b, seed, p, block, interpret, mid_drop=True):
     n, d = h_in.shape
     di = w1.shape[1]
     deterministic = (p is None) or (p <= 0.0)
@@ -421,7 +428,7 @@ def _tail_fwd(h_in, a_pre, wow, wob, ln1s, ln1b, w1, b1, w2, b2,
     row = lambda r, c: pl.BlockSpec((r, c), lambda i: (0, 0))
     out = pl.pallas_call(
         functools.partial(_tail_fwd_kernel, p=float(p or 0.0),
-                          deterministic=deterministic),
+                          deterministic=deterministic, mid_drop=mid_drop),
         grid=(nb,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),            # seed
@@ -445,7 +452,7 @@ def _tail_fwd(h_in, a_pre, wow, wob, ln1s, ln1b, w1, b1, w2, b2,
                      ln2s, seed)
 
 
-def _tail_bwd(p, block, interpret, res, dout):
+def _tail_bwd(p, block, interpret, mid_drop, res, dout):
     (h_in, a_pre, wow, wob, ln1s, ln1b, w1, b1, w2, b2, ln2s, seed) = res
     n, d = h_in.shape
     di = w1.shape[1]
@@ -456,7 +463,7 @@ def _tail_bwd(p, block, interpret, res, dout):
     row = lambda r, c: pl.BlockSpec((r, c), lambda i: (0, 0))
     outs = pl.pallas_call(
         functools.partial(_tail_bwd_kernel, p=float(p or 0.0),
-                          deterministic=deterministic),
+                          deterministic=deterministic, mid_drop=mid_drop),
         grid=(nb,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),            # seed

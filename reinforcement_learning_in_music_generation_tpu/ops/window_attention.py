@@ -159,3 +159,95 @@ def window_attention_blocked(q: jax.Array, k: jax.Array, v: jax.Array,
     outs = [one_block(i * blk) for i in range(nb)]     # nb x (B, H, blk, D)
     out = jnp.concatenate(outs, axis=2)                # (B, H, s_pad, D)
     return out[:, :, :s]
+
+
+# ---------------------------------------------------------------------------
+# (B, S, H, D)-native layout variant — zero head transposes
+# ---------------------------------------------------------------------------
+#
+# Same rationale as ops/linear_attention.py's bshe variant: when the
+# Longformer layer tail runs through the opaque fused kernel
+# (ops/ffn_block.py:attn_tail_block), the (B,S,H,D)<->(B,H,S,D) head
+# transposes around the attention stop fusing and materialize.  This
+# computes the identical banded softmax with einsums written for the
+# head-minor layout so q/k/v/att are plain reshapes.  Autodiff (no
+# custom VJP needed — same as the standard path).
+
+def window_attention_bshe(q: jax.Array, k: jax.Array, v: jax.Array,
+                          attention_mask: jax.Array | None,
+                          *, window: int,
+                          rel_emb: jax.Array | None = None,
+                          block_threshold: int = 1024,
+                          block: int = 256) -> jax.Array:
+    """q,k,v: (B, S, H, D) -> (B, S, H, D); same dispatch rule as
+    window_attention (dense banded vs O(S*window) blocked)."""
+    s = q.shape[1]
+    if s > block_threshold and s > 2 * window:
+        return _window_blocked_bshe(q, k, v, attention_mask, window=window,
+                                    rel_emb=rel_emb, block=block)
+    return _window_dense_bshe(q, k, v, attention_mask, window=window,
+                              rel_emb=rel_emb)
+
+
+def _window_dense_bshe(q, k, v, attention_mask, *, window, rel_emb):
+    b, s, h, d = q.shape
+    scale = 1.0 / jnp.sqrt(jnp.asarray(d, q.dtype))
+    scores = jnp.einsum("bqhd,bkhd->bhqk", q, k) * scale
+    if rel_emb is not None:
+        max_rel = (rel_emb.shape[0] - 1) // 2
+        row = jax.lax.broadcasted_iota(jnp.int32, (s, s), 0)
+        col = jax.lax.broadcasted_iota(jnp.int32, (s, s), 1)
+        dist = jnp.clip(row - col, -max_rel, max_rel) + max_rel
+        pos = rel_emb[dist]                                   # (S, S, D)
+        scores += jnp.einsum("bqhd,qkd->bhqk", q, pos) * scale
+    scores = scores + band_mask(s, max(1, window // 2), scores.dtype)[None, None]
+    if attention_mask is not None:
+        pad = jnp.where(attention_mask > 0, 0.0, NEG_INF).astype(scores.dtype)
+        scores = scores + pad[:, None, None, :]
+    probs = jax.nn.softmax(scores, axis=-1)
+    return jnp.einsum("bhqk,bkhd->bqhd", probs, v)
+
+
+def _window_blocked_bshe(q, k, v, attention_mask, *, window, rel_emb,
+                         block=256):
+    b, s, h, d = q.shape
+    w = max(1, window // 2)
+    blk = max(block, w)
+    pad_s = (-s) % blk
+    nb = (s + pad_s) // blk
+    scale = 1.0 / jnp.sqrt(jnp.asarray(d, q.dtype))
+
+    qp = jnp.pad(q, ((0, 0), (0, pad_s), (0, 0), (0, 0)))
+    kp = jnp.pad(k, ((0, 0), (w, w + pad_s), (0, 0), (0, 0)))
+    vp = jnp.pad(v, ((0, 0), (w, w + pad_s), (0, 0), (0, 0)))
+    if attention_mask is None:
+        attention_mask = jnp.ones((b, s), q.dtype)
+    mp = jnp.pad(attention_mask.astype(q.dtype), ((0, 0), (w, w + pad_s)))
+
+    kw = blk + 2 * w
+    row = jax.lax.broadcasted_iota(jnp.int32, (blk, kw), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (blk, kw), 1)
+    inside = (col >= row) & (col <= row + 2 * w)
+    band = jnp.where(inside, 0.0, NEG_INF).astype(q.dtype)
+    if rel_emb is not None:
+        max_rel = (rel_emb.shape[0] - 1) // 2
+        dist = jnp.clip(row + w - col, -max_rel, max_rel) + max_rel
+        rel_block = rel_emb[dist]                      # (blk, kw, D)
+
+    def one_block(qs):
+        qb = jax.lax.slice_in_dim(qp, qs, qs + blk, axis=1)
+        kb = jax.lax.slice_in_dim(kp, qs, qs + kw, axis=1)
+        vb = jax.lax.slice_in_dim(vp, qs, qs + kw, axis=1)
+        mb = jax.lax.slice_in_dim(mp, qs, qs + kw, axis=1)
+        scores = jnp.einsum("bqhd,bkhd->bhqk", qb, kb) * scale
+        if rel_emb is not None:
+            scores += jnp.einsum("bqhd,qkd->bhqk", qb, rel_block) * scale
+        scores = scores + band[None, None]
+        scores = scores + jnp.where(mb > 0, 0.0, NEG_INF).astype(
+            scores.dtype)[:, None, None, :]
+        probs = jax.nn.softmax(scores, axis=-1)
+        return jnp.einsum("bhqk,bkhd->bqhd", probs, vb)
+
+    outs = [one_block(i * blk) for i in range(nb)]     # nb x (B, blk, H, D)
+    out = jnp.concatenate(outs, axis=1)
+    return out[:, :s]

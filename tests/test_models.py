@@ -175,3 +175,21 @@ def test_longformer_preset_positions_absolute():
     p_rel_same_trunk = dict(p_abs, rel_emb=p_rel["rel_emb"])
     h_rel = lf.forward(p_rel_same_trunk, cfg_rel, x)
     assert not np.allclose(np.asarray(h_abs), np.asarray(h_rel))
+
+
+def test_longformer_fused_tail_matches_xla(monkeypatch):
+    """Longformer trunk with RLMG_FFN_BACKEND=pallas-tail (interpret) ==
+    the XLA composition (deterministic; window attention in head-minor
+    layout + attn_tail_block with mid_drop=False)."""
+    cfg = C.WindowTransformerConfig(
+        vocab_sizes=(8,) * 6, emb_sizes=(6,) * 6, d_model=32, n_layer=2,
+        n_head=2, d_inner=64, attention_window=8, max_pos=64)
+    params = lf.init_params(jax.random.PRNGKey(3), cfg)
+    x = jax.random.randint(jax.random.PRNGKey(4), (2, 20, 6), 0, 8)
+    mask = jnp.ones((2, 20), jnp.float32)
+    ref = lf.forward(params, cfg, x, mask, deterministic=True)
+    monkeypatch.setenv("RLMG_FFN_BACKEND", "pallas-tail")
+    monkeypatch.setenv("RLMG_FFN_INTERPRET", "1")
+    got = lf.forward(params, cfg, x, mask, deterministic=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-3, atol=2e-3)

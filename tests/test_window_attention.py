@@ -60,3 +60,33 @@ def test_blocked_gradients_flow():
     for g in grads:
         assert bool(jnp.all(jnp.isfinite(g)))
         assert float(jnp.abs(g).sum()) > 0
+
+
+def test_bshe_matches_bhsd_dense_and_blocked():
+    """window_attention_bshe == window_attention on transposed tensors,
+    in both dispatch regimes, with and without rel_emb, incl. grads."""
+    q, k, v, mask = make(s=100)
+    rel = jax.random.normal(jax.random.PRNGKey(9), (2 * 64 + 1, 8)) * 0.1
+    t = lambda x: jnp.transpose(x, (0, 2, 1, 3))
+    for s_thresh, r in ((1024, None), (1024, rel), (8, None), (8, rel)):
+        ref = wa.window_attention(q, k, v, mask, window=24, rel_emb=r,
+                                  block_threshold=s_thresh)
+        got = wa.window_attention_bshe(t(q), t(k), t(v), mask, window=24,
+                                       rel_emb=r, block_threshold=s_thresh,
+                                       block=32)
+        np.testing.assert_allclose(np.asarray(t(got)), np.asarray(ref),
+                                   rtol=2e-4, atol=2e-4,
+                                   err_msg=f"thresh={s_thresh} rel={r is not None}")
+
+    def loss_ref(q):
+        return jnp.sum(jnp.sin(wa.window_attention(q, k, v, mask, window=24,
+                                                   block_threshold=8)))
+
+    def loss_bshe(q):
+        o = wa.window_attention_bshe(t(q), t(k), t(v), mask, window=24,
+                                     block_threshold=8, block=32)
+        return jnp.sum(jnp.sin(t(o)))
+
+    np.testing.assert_allclose(np.asarray(jax.grad(loss_bshe)(q)),
+                               np.asarray(jax.grad(loss_ref)(q)),
+                               rtol=5e-4, atol=5e-4)
