@@ -196,3 +196,24 @@ def test_full_forward_matches_with_pallas_tail(monkeypatch):
     got = lt.forward_hidden(params, cfg, x, deterministic=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=2e-3, atol=2e-3)
+
+
+def test_ffn_backend_selection(monkeypatch):
+    """Pins the fused-backend default policy: explicit env wins at any
+    shape; the implicit default requires single-device TPU AND
+    >=RLMG_FFN_MIN_ROWS rows (CPU hosts and small RL shapes stay xla)."""
+    from reinforcement_learning_in_music_generation_tpu.models import (
+        linear_transformer as lt)
+
+    monkeypatch.delenv("RLMG_FFN_BACKEND", raising=False)
+    # this suite runs on the CPU backend -> implicit default is always xla
+    assert lt._ffn_backend(100) == "xla"
+    assert lt._ffn_backend(1 << 20) == "xla"
+    # explicit choice wins regardless of shape
+    monkeypatch.setenv("RLMG_FFN_BACKEND", "pallas-tail")
+    assert lt._ffn_backend(1) == "pallas-tail"
+    monkeypatch.setenv("RLMG_FFN_BACKEND", "xla")
+    assert lt._ffn_backend(1 << 20) == "xla"
+    # threshold knob parses
+    monkeypatch.setenv("RLMG_FFN_MIN_ROWS", "123")
+    assert lt._ffn_min_rows() == 123
