@@ -127,11 +127,15 @@ def _ffn_min_rows() -> int:
     At small N the kernel streams every layer's ~4.5MB of weights from
     HBM per 256-row tile while the matmuls are tiny — weight traffic
     dominates and XLA's fused-into-matmul glue is the better schedule.
-    The RL paths (forward_hidden over n_states~50-token windows, N~1.5K)
-    stay on their round-2-tuned XLA programs; the pretrain/discrim paths
-    (N>=16K) get the kernel.  RLMG_FFN_MIN_ROWS overrides."""
+    The RL paths (forward_hidden over n_states~50-token windows, N~1.5K,
+    and the B=100 x S=50 AIRL disc epoch, N=5K) stay on their
+    round-2-tuned XLA programs; the pretrain/discrim-LM paths (N>=14K)
+    get the kernel.  RLMG_FFN_MIN_ROWS overrides.  (8192 rather than a
+    lower knee also bounds compile risk: every new fused program costs a
+    cold remote compile that has been observed at 25+ minutes under
+    load, so the default only claims shapes with a measured win.)"""
     import os
-    return int(os.environ.get("RLMG_FFN_MIN_ROWS", "4096"))
+    return int(os.environ.get("RLMG_FFN_MIN_ROWS", "8192"))
 
 
 def _layer_forward(cfg: LinearTransformerConfig, h: jax.Array, lp: dict,
