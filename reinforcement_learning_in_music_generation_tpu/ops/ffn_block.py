@@ -1,15 +1,27 @@
-"""Fused training FFN block: LN2(h + drop(ffn2(drop(gelu(ffn1(h)))))).
+"""Fused training-layer tail kernels (the single-chip TPU training path).
 
-The round-2 pretrain MFU analysis (BENCH.md) left the train step at 39% of
-measured chip peak with the residual gap attributed to LN/dropout/glue
-around the matmul stream that XLA does not fuse into the MXU pipeline.
-This kernel fuses the entire post-attention half of a transformer layer —
-ffn1 -> exact gelu -> dropout -> ffn2 -> dropout -> residual -> layernorm
-— into one pallas_call (forward) and one pallas_call (backward, custom
-VJP), eliminating every intermediate HBM round trip of the (N, 4D)
-activations and generating the dropout masks with the on-core PRNG
-instead of materialized rbg tensors (~15% of the r2 step was dropout mask
-generation alone).
+Two generations, both one pallas_call forward + one backward (custom
+VJP), dropout masks from the on-core PRNG (~15% of the r2 step was rbg
+mask generation alone):
+
+  * ``ffn_block``      — LN2(h + drop(ffn2(drop(gelu(ffn1(h)))))), the
+    post-LN1 half of a layer (+14.5% train step vs xla, BENCH.md r3).
+  * ``attn_tail_block`` — everything after the attention contraction:
+    Wo + attention-dropout + residual + LN1 + the whole FFN tail.  With
+    the head-minor attention layouts (ops/linear_attention.py
+    `causal_linear_attention_bshe`, ops/window_attention.py
+    `window_attention_bshe`) there are ZERO materialized transposes in
+    the layer, and the 12L pretrain step runs 327.3K tok/s — +43% over
+    the all-XLA step, 56% of the measured chip ceiling (BENCH.md r3).
+    Default on single-device TPU for >=RLMG_FFN_MIN_ROWS rows
+    (models/linear_transformer.py:_ffn_backend); also adopted by the
+    Longformer trunk with ``mid_drop=False`` (models/longformer.py).
+
+The round-2 pretrain MFU analysis (BENCH.md) left the train step at 39%
+of measured chip peak with the residual gap attributed to LN/dropout/
+glue around the matmul stream that XLA does not fuse into the MXU
+pipeline; these kernels eliminate every intermediate HBM round trip of
+the (N, 4D) activations.
 
 Replaces: the FFN tail of `_layer_forward`
 (models/linear_transformer.py) — the hot loop of the reference's training
