@@ -650,10 +650,14 @@ def build_parser() -> argparse.ArgumentParser:
     d.add_argument("--disc-epochs", type=int, default=5,
                    help="AIRL discriminator epochs per training pass")
     d.add_argument("--disc-lr", type=float, default=0.001,
-                   help="disc Adam lr (reference default 1e-3 collapses "
-                        "the 10L discriminator to constant 0.5 on v5e "
-                        "runs — BCEs pin at ln2; 1e-4 separates cleanly, "
-                        "BENCH.md r3)")
+                   help="disc Adam lr.  The default 1e-3 is the "
+                        "reference's value (AIRL.py:170), kept for "
+                        "parity even though it collapses the 10L "
+                        "discriminator to a constant 0.5 on v5e runs "
+                        "(BCEs pin at ln2).  Pass 1e-4 for a "
+                        "discriminator that actually separates "
+                        "expert/agent (measured, BENCH.md r3 "
+                        "learning-effect section)")
     d.add_argument("--disc-lr-step", type=int, default=10,
                    help="disc StepLR period in MINIBATCHES (the reference "
                         "steps its scheduler per minibatch, AIRL.py:176, "

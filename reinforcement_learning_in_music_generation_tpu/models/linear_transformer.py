@@ -23,6 +23,7 @@ Two execution modes, numerically consistent:
 
 from __future__ import annotations
 
+import os
 from typing import NamedTuple, Optional, Tuple
 
 import jax
@@ -144,7 +145,14 @@ def _layer_forward(cfg: LinearTransformerConfig, h: jax.Array, lp: dict,
     r1 = r2 = r3 = None
     if not deterministic and rng is not None:
         r1, r2, r3 = jax.random.split(rng, 3)
-    if h.ndim == 3 and _ffn_backend(h.shape[0] * h.shape[1]) == "pallas-tail":
+    # an explicitly requested attention backend (arg / cfg / env) must not
+    # be silently dropped by the fused-tail route, whose attention is the
+    # head-minor XLA chunked form; "xla"/None are compatible with it
+    explicit_attn = (attn_backend or cfg.attn_backend
+                     or os.environ.get("RLMG_ATTN_BACKEND"))
+    fused_ok = explicit_attn in (None, "", "xla")
+    if (h.ndim == 3 and fused_ok
+            and _ffn_backend(h.shape[0] * h.shape[1]) == "pallas-tail"):
         # whole post-attention tail (Wo + drop + res + LN1 + FFN + LN2)
         # in one fused kernel (ops/ffn_block.py:attn_tail_block), with the
         # attention run in head-minor (B,S,H,E) layout so q/k/v/att are
@@ -161,9 +169,12 @@ def _layer_forward(cfg: LinearTransformerConfig, h: jax.Array, lp: dict,
             bshe(cm.linear(lp["wq"], h)), bshe(cm.linear(lp["wk"], h)),
             bshe(cm.linear(lp["wv"], h)), eps=cfg.attn_eps,
             chunk=cfg.attn_chunk)
-        p = 0.0 if deterministic else cfg.dropout
+        # rng=None means "no dropout" (cm.dropout semantics), NOT
+        # "dropout with a fixed seed" — p must follow r1, else the fused
+        # path would apply identical seed-0 masks every layer/step
+        p = 0.0 if (deterministic or r1 is None) else cfg.dropout
         seed = (jax.random.randint(r1, (), 0, 2 ** 30, dtype=jnp.int32)
-                if (r1 is not None and p > 0.0) else jnp.int32(0))
+                if p > 0.0 else jnp.int32(0))
         out = attn_tail_block(
             h.reshape(b * s, d), att.reshape(b * s, d),
             lp["wo"]["w"], lp["wo"]["b"],
@@ -185,9 +196,9 @@ def _layer_forward(cfg: LinearTransformerConfig, h: jax.Array, lp: dict,
     if h.ndim == 3 and _ffn_backend(h.shape[0] * h.shape[1]) == "pallas":
         from ..ops.ffn_block import ffn_block
         b, s, d = h.shape
-        p = 0.0 if deterministic else cfg.dropout
+        p = 0.0 if (deterministic or r2 is None) else cfg.dropout
         seed = (jax.random.randint(r2, (), 0, 2 ** 30, dtype=jnp.int32)
-                if (r2 is not None and p > 0.0) else jnp.int32(0))
+                if p > 0.0 else jnp.int32(0))
         import os as _os
         out = ffn_block(h.reshape(b * s, d), lp["ffn1"]["w"], lp["ffn1"]["b"],
                         lp["ffn2"]["w"], lp["ffn2"]["b"],

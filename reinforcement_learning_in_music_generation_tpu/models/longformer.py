@@ -137,7 +137,12 @@ def forward_from_embeddings(params: dict, cfg: WindowTransformerConfig,
         if lr is not None:
             r1, r2 = jax.random.split(lr)
         from .linear_transformer import _ffn_backend
-        if _ffn_backend(b * s) == "pallas-tail":
+        import os as _os
+        # an explicit RLMG_WINDOW_BACKEND=pallas request (the flash-band
+        # kernel, (B,H,S,D) layout) must not be silently dropped by the
+        # fused-tail route, whose attention is the head-minor XLA form
+        if (_os.environ.get("RLMG_WINDOW_BACKEND") != "pallas"
+                and _ffn_backend(b * s) == "pallas-tail"):
             # fused post-attention tail (same kernel as the agent model,
             # mid_drop=False: this layer has no post-gelu dropout) + the
             # head-minor window attention so q/k/v/att never transpose
@@ -150,9 +155,12 @@ def forward_from_embeddings(params: dict, cfg: WindowTransformerConfig,
                 bshe(cm.linear(lp["wq"], h)), bshe(cm.linear(lp["wk"], h)),
                 bshe(cm.linear(lp["wv"], h)), attention_mask,
                 window=cfg.attention_window, rel_emb=rel)
-            p = 0.0 if deterministic else cfg.dropout
+            # rng=None means "no dropout" (cm.dropout semantics) — p must
+            # follow r1, else the fused path would apply identical
+            # seed-0 masks every layer/step
+            p = 0.0 if (deterministic or r1 is None) else cfg.dropout
             seed = (jax.random.randint(r1, (), 0, 2 ** 30, dtype=jnp.int32)
-                    if (r1 is not None and p > 0.0) else jnp.int32(0))
+                    if p > 0.0 else jnp.int32(0))
             out = attn_tail_block(
                 h.reshape(b * s, cfg.d_model),
                 att.reshape(b * s, cfg.d_model),

@@ -220,11 +220,11 @@ def _ffn_fwd(h, w1, b1, w2, b2, ln_scale, ln_bias, seed, p, block, interpret):
       b1.reshape(1, di), w2, b2.reshape(1, d),
       ln_scale.reshape(1, d), ln_bias.reshape(1, d))
     out = out[:n]
-    return out, (h, w1, b1, w2, b2, ln_scale, seed)
+    return out, (h, w1, b1, w2, b2, ln_scale, ln_bias, seed)
 
 
 def _ffn_bwd(p, block, interpret, res, dout):
-    h, w1, b1, w2, b2, ln_scale, seed = res
+    h, w1, b1, w2, b2, ln_scale, ln_bias, seed = res
     n, d = h.shape
     di = w1.shape[1]
     deterministic = (p is None) or (p <= 0.0)
@@ -266,7 +266,7 @@ def _ffn_bwd(p, block, interpret, res, dout):
     dseed = onp.zeros(onp.shape(seed), jax.dtypes.float0)
     return (dh[:n], dw1.astype(w1.dtype), db1[0].astype(b1.dtype),
             dw2.astype(w2.dtype), db2[0].astype(b2.dtype),
-            dls[0].astype(ln_scale.dtype), dlb[0].astype(ln_scale.dtype),
+            dls[0].astype(ln_scale.dtype), dlb[0].astype(ln_bias.dtype),
             dseed)
 
 
@@ -461,11 +461,12 @@ def _tail_fwd(h_in, a_pre, wow, wob, ln1s, ln1b, w1, b1, w2, b2,
       w1, b1.reshape(1, di), w2, b2.reshape(1, d),
       ln2s.reshape(1, d), ln2b.reshape(1, d))
     return out[:n], (h_in, a_pre, wow, wob, ln1s, ln1b, w1, b1, w2, b2,
-                     ln2s, seed)
+                     ln2s, ln2b, seed)
 
 
 def _tail_bwd(p, block, interpret, mid_drop, res, dout):
-    (h_in, a_pre, wow, wob, ln1s, ln1b, w1, b1, w2, b2, ln2s, seed) = res
+    (h_in, a_pre, wow, wob, ln1s, ln1b, w1, b1, w2, b2, ln2s, ln2b,
+     seed) = res
     n, d = h_in.shape
     di = w1.shape[1]
     deterministic = (p is None) or (p <= 0.0)
@@ -525,7 +526,7 @@ def _tail_bwd(p, block, interpret, mid_drop, res, dout):
             dl1b[0].astype(ln1b.dtype), dw1.astype(w1.dtype),
             db1[0].astype(b1.dtype), dw2.astype(w2.dtype),
             db2[0].astype(b2.dtype), dl2s[0].astype(ln2s.dtype),
-            dl2b[0].astype(ln2s.dtype), dseed)
+            dl2b[0].astype(ln2b.dtype), dseed)
 
 
 attn_tail_block.defvjp(_tail_fwd, _tail_bwd)

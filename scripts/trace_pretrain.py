@@ -30,7 +30,10 @@ def main():
 
     B = int(os.environ.get("RLMG_BENCH_PRETRAIN_BATCH", "32"))
     S = int(os.environ.get("RLMG_BENCH_PRETRAIN_SEQ", "512"))
-    cfg = C.agent_config(dtype="bfloat16", scan_unroll=12)
+    cfg = C.agent_config(
+        dtype=os.environ.get("RLMG_BENCH_TRAIN_DTYPE", "bfloat16"),
+        attn_chunk=int(os.environ.get("RLMG_BENCH_ATTN_CHUNK", "128")),
+        scan_unroll=12)
     params = lt.init_params(jax.random.PRNGKey(0), cfg)
     tx = optim.adam(1e-4, grad_clip=3.0)
     opt_state = tx.init(params)
@@ -50,13 +53,16 @@ def main():
                 params, opt_state, cfg, tx, bx, by, bm, key(i + 2))
         float(loss)
 
-    rows = metrics.summarize_trace(log_dir, top=25, steps=steps)
+    rows = metrics.summarize_trace(log_dir, top=1000, steps=steps)
     total = sum(us for _, us, _ in rows)
     print(f"backend={os.environ.get('RLMG_FFN_BACKEND', 'xla')} "
           f"B={B} S={S} steps={steps}")
-    for kind, us, cnt in rows:
+    for kind, us, cnt in rows[:25]:
         print(f"{us:10.0f} us/step  {cnt:7.1f} ops  {kind}")
-    print(f"{total:10.0f} us/step TOTAL (device)")
+    tail = total - sum(us for _, us, _ in rows[:25])
+    if tail > 0:
+        print(f"{tail:10.0f} us/step  (long tail, {len(rows) - 25} kinds)")
+    print(f"{total:10.0f} us/step TOTAL (device, all op kinds)")
 
 
 if __name__ == "__main__":
