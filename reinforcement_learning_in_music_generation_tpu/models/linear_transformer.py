@@ -220,7 +220,15 @@ def forward_hidden(params: dict, cfg: LinearTransformerConfig, x: jax.Array,
     """x (B, S, n_fields) int32 -> h (B, S, D).
 
     Mirrors dqn_policy/model.py:200-233 (embeddings -> in_linear -> pos-enc
-    -> causal-linear encoder)."""
+    -> causal-linear encoder).
+
+    rng=None means no dropout (cm.dropout semantics).  This must be
+    resolved HERE: the layer scan replaces absent rngs with a zeros
+    placeholder key for xs-structure reasons, so _layer_forward cannot
+    distinguish "no rng" from a real key — without this, rng=None with
+    deterministic=False would apply dropout keyed on zeros (identical
+    masks every step) on both the XLA and fused paths."""
+    deterministic = deterministic or rng is None
     b, s, _ = x.shape
     embs = cm.embed_fields(params["emb"], x)
     h = cm.linear(params["in_linear"], embs)

@@ -217,3 +217,23 @@ def test_ffn_backend_selection(monkeypatch):
     # threshold knob parses
     monkeypatch.setenv("RLMG_FFN_MIN_ROWS", "123")
     assert lt._ffn_min_rows() == 123
+
+
+def test_fused_path_rng_none_means_no_dropout(monkeypatch):
+    """deterministic=False with rng=None must equal the deterministic
+    output (cm.dropout semantics) — not dropout with a fixed seed."""
+    from reinforcement_learning_in_music_generation_tpu import config as C
+    from reinforcement_learning_in_music_generation_tpu.models import (
+        linear_transformer as lt)
+
+    cfg = C.LinearTransformerConfig(
+        vocab_sizes=(8,) * 6, emb_sizes=(8,) * 6, d_model=32, n_layer=1,
+        n_head=2, d_inner=64, dropout=0.5)
+    params = lt.init_params(jax.random.PRNGKey(0), cfg)
+    x = jax.random.randint(jax.random.PRNGKey(1), (2, 16, 6), 0, 8)
+    monkeypatch.setenv("RLMG_FFN_BACKEND", "pallas-tail")
+    monkeypatch.setenv("RLMG_FFN_INTERPRET", "1")
+    det = lt.forward_hidden(params, cfg, x, deterministic=True)
+    no_rng = lt.forward_hidden(params, cfg, x, deterministic=False, rng=None)
+    np.testing.assert_allclose(np.asarray(no_rng), np.asarray(det),
+                               rtol=1e-6, atol=1e-6)
