@@ -345,8 +345,40 @@ def bench_ppo():
     return rollout_s, cfg.ppo_steps / update_s
 
 
+def _backend_alive(timeout_s: int = 300) -> bool:
+    """Probe backend init in a subprocess.
+
+    The tunneled TPU backend has been observed to HANG `jax.devices()`
+    indefinitely during outages (r3: a 3h UNAVAILABLE stretch) — a bench
+    run must fail loudly with its one JSON line rather than hang the
+    caller forever."""
+    import subprocess
+    try:
+        p = subprocess.run(
+            [sys.executable, "-c",
+             "import jax, jax.numpy as jnp; "
+             "x = jnp.ones((128, 128)); float((x @ x).sum()); "
+             "print(jax.default_backend())"],
+            capture_output=True, text=True, timeout=timeout_s,
+            env={k: v for k, v in os.environ.items() if k != "XLA_FLAGS"})
+        return p.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main():
     _setup_cache()
+    if not _backend_alive():
+        print(json.dumps({
+            "metric": "generated tokens/sec/chip",
+            "value": None,
+            "unit": "tokens/sec",
+            "vs_baseline": None,
+            "error": "accelerator backend unreachable (init probe "
+                     "timed out/failed); see BENCH.md for last "
+                     "measured numbers",
+        }))
+        return
     decode_tps, decode_s = bench_decode()
     b1_tps, five_songs_s = bench_latency()
     pretrain_tps, pretrain_s = bench_pretrain()
