@@ -1,5 +1,7 @@
+from .ffn_block import attn_tail_block, ffn_block
 from .linear_attention import (
     causal_linear_attention,
+    causal_linear_attention_bshe,
     causal_linear_attention_sp,
     feature_map,
     init_attention_state,
@@ -7,10 +9,13 @@ from .linear_attention import (
 )
 from .losses import binary_cross_entropy, fields_cross_entropy, masked_cross_entropy
 from .sampling import CP_SAMPLING, FieldSampling, sample, sample_fields
-from .window_attention import window_attention
+from .window_attention import window_attention, window_attention_bshe
 
 __all__ = [
+    "attn_tail_block",
+    "ffn_block",
     "causal_linear_attention",
+    "causal_linear_attention_bshe",
     "causal_linear_attention_sp",
     "feature_map",
     "init_attention_state",
@@ -23,4 +28,5 @@ __all__ = [
     "sample",
     "sample_fields",
     "window_attention",
+    "window_attention_bshe",
 ]
