@@ -1,4 +1,8 @@
-from .ffn_block import attn_tail_block, ffn_block
+# NOTE: the `ffn_block` FUNCTION is deliberately not re-exported here —
+# binding it in the package namespace would shadow the `ops.ffn_block`
+# SUBMODULE for `from ...ops import ffn_block` imports.  Use
+# `from ...ops.ffn_block import ffn_block` for the function.
+from .ffn_block import attn_tail_block
 from .linear_attention import (
     causal_linear_attention,
     causal_linear_attention_bshe,
@@ -13,7 +17,6 @@ from .window_attention import window_attention, window_attention_bshe
 
 __all__ = [
     "attn_tail_block",
-    "ffn_block",
     "causal_linear_attention",
     "causal_linear_attention_bshe",
     "causal_linear_attention_sp",
