@@ -346,24 +346,41 @@ def bench_ppo():
 
 
 def _backend_alive(timeout_s: int = 300) -> bool:
-    """Probe backend init in a subprocess.
+    """Probe backend init in a subprocess, with bounded retry/backoff.
 
     The tunneled TPU backend has been observed to HANG `jax.devices()`
     indefinitely during outages (r3: a 3h UNAVAILABLE stretch) — a bench
     run must fail loudly with its one JSON line rather than hang the
-    caller forever."""
+    caller forever.  r3 lesson (VERDICT r3 #2): one failed probe nulled
+    the whole round's artifact even though the outage was transient at
+    snapshot time, so the probe now retries with backoff inside a bounded
+    budget (default 3 attempts x 300s probe + 60s/120s backoff ~= 18 min
+    worst case; RLMG_BENCH_PROBE_ATTEMPTS / _TIMEOUT / _BACKOFF tune it).
+    """
     import subprocess
-    try:
-        p = subprocess.run(
-            [sys.executable, "-c",
-             "import jax, jax.numpy as jnp; "
-             "x = jnp.ones((128, 128)); float((x @ x).sum()); "
-             "print(jax.default_backend())"],
-            capture_output=True, text=True, timeout=timeout_s,
-            env={k: v for k, v in os.environ.items() if k != "XLA_FLAGS"})
-        return p.returncode == 0
-    except subprocess.TimeoutExpired:
-        return False
+    timeout_s = int(os.environ.get("RLMG_BENCH_PROBE_TIMEOUT", timeout_s))
+    attempts = int(os.environ.get("RLMG_BENCH_PROBE_ATTEMPTS", "3"))
+    backoff_s = int(os.environ.get("RLMG_BENCH_PROBE_BACKOFF", "60"))
+    for i in range(attempts):
+        try:
+            p = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax, jax.numpy as jnp; "
+                 "x = jnp.ones((128, 128)); float((x @ x).sum()); "
+                 "print(jax.default_backend())"],
+                capture_output=True, text=True, timeout=timeout_s,
+                env={k: v for k, v in os.environ.items()
+                     if k != "XLA_FLAGS"})
+            if p.returncode == 0:
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+        if i + 1 < attempts:
+            print(f"bench: backend probe attempt {i + 1}/{attempts} "
+                  f"failed; retrying in {backoff_s * (i + 1)}s",
+                  file=sys.stderr)
+            time.sleep(backoff_s * (i + 1))
+    return False
 
 
 def main():
