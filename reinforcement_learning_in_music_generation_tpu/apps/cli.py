@@ -100,6 +100,15 @@ def cmd_preprocess(args):
     print(f"train_x {packed['train_x'].shape} -> {args.out}")
 
 
+def cmd_split_data(args):
+    """90/10 split -> worded_data_{train,test}.pickle
+    (ppo_policy/prepare_data.py:443-464)."""
+    from reinforcement_learning_in_music_generation_tpu.data import dataset
+
+    n_train, n_test = dataset.split_data(args.worded_data, seed=args.seed)
+    print(f"n_train: {n_train}, n_test: {n_test}")
+
+
 # ---------------------------------------------------------------------------
 # training commands
 # ---------------------------------------------------------------------------
@@ -253,10 +262,13 @@ def cmd_dqn_train(args):
     wcfg = C.airl_discriminator_config(vocab, n_layer=max(1, args.layers - 2))
     cfg = C.DQNConfig(num_songs=args.songs, episodes=args.episodes,
                       buffer_size=args.buffer_size, batch_size=args.batch_size,
-                      n_states=args.n_states, n_actions=args.n_actions)
+                      n_states=args.n_states, n_actions=args.n_actions,
+                      ckpt_epoch_gate=args.ckpt_epoch_gate)
     acfg = C.AIRLConfig(batch_size=min(100, args.buffer_size),
                         epochs=args.disc_epochs, lr_step=args.disc_lr_step,
-                        lr=args.disc_lr)
+                        lr=args.disc_lr,
+                        score_batch_size=min(args.score_batch_size,
+                                             args.buffer_size))
     x, y, mask = _load_pretrain_data(args, vocab)
     x, y, mask = jnp.asarray(x), jnp.asarray(y), jnp.asarray(mask)
 
@@ -339,8 +351,21 @@ def cmd_dqn_train(args):
                   f"| D(agent) {agent_score_hist[-1]:.3f} "
                   f"| D(expert) {expert_score_hist[-1]:.3f}")
             if epoch >= cfg.ckpt_epoch_gate:
-                save_checkpoint(os.path.join(args.ckpt_dir, "dqn_best.ckpt"),
+                ckpt_path = os.path.join(args.ckpt_dir, "dqn_best.ckpt")
+                save_checkpoint(ckpt_path,
                                 state.eval_params, state.opt_state, epoch)
+                bus.save_file(ckpt_path)  # IRL_dqn_train.py:370 wandb.save
+                # pickled training record (IRL_dqn_train.py:380-383):
+                # 'Agent' = the last update batch's rewards, and the three
+                # loss histories under the reference's exact keys
+                # (including its literal ' global_loss' leading space)
+                import pickle as _pickle
+                record = {"Agent": np.asarray(batch["reward"]),
+                          "first_loss": mse_hist, "sec_loss": ce_hist,
+                          " global_loss": total_hist}
+                with open(os.path.join(args.ckpt_dir, "agent_info.pickle"),
+                          "wb") as f:
+                    _pickle.dump(record, f)
                 bi_loss_plot(mse_hist, ce_hist, total_hist,
                              ["MSE", "CE", "Global"],
                              os.path.join(args.exp_dir, "agent_loss.png"))
@@ -584,6 +609,13 @@ def build_parser() -> argparse.ArgumentParser:
     d.add_argument("--max-seq-len", type=int, default=1200)
     d.set_defaults(fn=cmd_preprocess)
 
+    d = sub.add_parser(
+        "split-data", help="90/10 train/test split of a worded-data pickle "
+        "(ppo_policy/prepare_data.py:443-464 alt path)")
+    d.add_argument("--worded-data", default="./dataset/worded_data.pickle")
+    d.add_argument("--seed", type=int, default=0)
+    d.set_defaults(fn=cmd_split_data)
+
     def train_common(d):
         d.add_argument("--synthetic", action="store_true")
         d.add_argument("--synthetic-songs", type=int, default=16)
@@ -663,6 +695,17 @@ def build_parser() -> argparse.ArgumentParser:
                         "steps its scheduler per minibatch, AIRL.py:176, "
                         "so lr dies ~30 minibatches in; raise for longer "
                         "effective disc training)")
+    d.add_argument("--ckpt-epoch-gate", type=int, default=410,
+                   help="first epoch eligible for dqn_best.ckpt + the "
+                        "agent_info.pickle record (IRL_dqn_train.py:362)")
+    d.add_argument("--score-batch-size", type=int, default=100,
+                   help="AIRL buffer re-scoring batch.  WARNING: this "
+                        "changes reward VALUES, not just throughput — the "
+                        "reference scores with per-batch BatchNorm "
+                        "statistics (train-mode BN, AIRL.py:69-90; "
+                        "PARITY.md #15), so each transition's reward "
+                        "depends on which transitions share its scoring "
+                        "batch.  Default 100 matches the reference")
     d.add_argument("--dp", type=int, default=1)
     d.add_argument("--tp", type=int, default=1)
     d.set_defaults(fn=cmd_dqn_train)

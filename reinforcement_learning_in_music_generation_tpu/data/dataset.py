@@ -94,6 +94,36 @@ def process_data(worded_flat: Sequence, max_seq_len: int = 1200, *,
     }
 
 
+def split_data(data_file: str, *, seed: Optional[int] = 0,
+               test_frac: float = 0.1) -> Tuple[int, int]:
+    """90/10 train/test split of a worded-data pickle
+    (ppo_policy/prepare_data.py:443-464): loads `data_file` (either the
+    packed ``{'train': ...}`` dict or a raw song list), shuffles, and
+    writes ``worded_data_train.pickle`` / ``worded_data_test.pickle`` next
+    to it.  The reference seeds its shuffle from an external
+    ``shuffle_order.pickle`` then re-shuffles randomly; here the order is
+    a seeded rng (seed=None for nondeterministic).  Returns
+    (n_train, n_test)."""
+    import os
+    dirname = os.path.dirname(data_file)
+    with open(data_file, "rb") as handle:
+        data = pickle.load(handle)
+    if isinstance(data, dict):
+        data = data["train"]
+    n_data = len(data)
+    n_test = n_data // 10 if test_frac == 0.1 else int(n_data * test_frac)
+    n_train = n_data - n_test
+    data = np.asarray(data, dtype=object)
+    index = np.arange(n_data)
+    np.random.default_rng(seed).shuffle(index)
+    data = data[index]
+    with open(os.path.join(dirname, "worded_data_train.pickle"), "wb") as f:
+        pickle.dump(list(data[:n_train]), f, protocol=pickle.HIGHEST_PROTOCOL)
+    with open(os.path.join(dirname, "worded_data_test.pickle"), "wb") as f:
+        pickle.dump(list(data[n_train:]), f, protocol=pickle.HIGHEST_PROTOCOL)
+    return n_train, n_test
+
+
 def flatten_worded_songs(worded_songs: Sequence) -> List[List[List[int]]]:
     """[songs][bars][notes][6] -> [songs][notes][6] with in-song bar id
     capped at 15 (dictionary Bar range, prepare_data.py:254-257)."""

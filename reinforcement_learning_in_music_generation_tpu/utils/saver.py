@@ -97,6 +97,17 @@ class MetricsBus:
         for sink in self._sinks:
             sink(metrics, step)
 
+    def save_file(self, path: str) -> None:
+        """Upload an artifact (checkpoint) to wandb if a run is live —
+        the reference wandb.save()s its best DQN checkpoint
+        (dqn_policy/IRL_dqn_train.py:370) and AIRL disc ckpt (AIRL.py:191).
+        No-op without wandb."""
+        if self._wandb is not None:
+            try:
+                self._wandb.save(path)
+            except Exception:
+                pass
+
 
 def loss_bucket_filename(loss: float) -> Optional[str]:
     """Loss-bucketed checkpoint names (agent_pretrain.py:594-632):

@@ -24,9 +24,19 @@ def test_dqn_train_smoke(tmp_path):
         "--seq-len", "128", "--layers", "1", "--songs", "3",
         "--episodes", "4", "--buffer-size", "8", "--batch-size", "4",
         "--n-states", "16", "--n-actions", "8", "--max-updates", "1",
+        "--ckpt-epoch-gate", "0",
         "--ckpt-dir", str(tmp_path / "ck"), "--exp-dir", str(tmp_path / "exp"),
     ])
     assert (tmp_path / "ck" / "dqn_last.ckpt").exists()
+    # gate 0: the best-ckpt branch ran -> agent_info.pickle record with the
+    # reference's exact keys (IRL_dqn_train.py:380-383, incl. the literal
+    # ' global_loss' leading space)
+    assert (tmp_path / "ck" / "dqn_best.ckpt").exists()
+    import pickle
+    with open(tmp_path / "ck" / "agent_info.pickle", "rb") as f:
+        record = pickle.load(f)
+    assert set(record) == {"Agent", "first_loss", "sec_loss", " global_loss"}
+    assert len(record["first_loss"]) == 1 and record["Agent"].shape[0] == 4
 
 
 def test_ppo_train_smoke(tmp_path):

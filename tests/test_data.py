@@ -201,3 +201,29 @@ def test_remi_writer_roundtrip(tmp_path):
     assert notes[1].start == 1920 + 8 * 120
     # tempo event decoded (mid class + 30 => 120 bpm)
     assert any(abs(t.tempo - 120) < 0.5 for t in m.tempo_changes)
+
+
+def test_split_data_90_10(tmp_path):
+    """split_data (ppo_policy/prepare_data.py:443-464): 90/10 sizes,
+    disjoint shuffled coverage, both output pickles written."""
+    import pickle
+
+    from reinforcement_learning_in_music_generation_tpu.data import dataset
+
+    songs = [[[i, 0, 0, 0, 0, 0]] * 3 for i in range(20)]
+    src = tmp_path / "worded_data.pickle"
+    with open(src, "wb") as f:
+        pickle.dump({"train": songs}, f)
+    n_train, n_test = dataset.split_data(str(src), seed=0)
+    assert (n_train, n_test) == (18, 2)
+    with open(tmp_path / "worded_data_train.pickle", "rb") as f:
+        train = pickle.load(f)
+    with open(tmp_path / "worded_data_test.pickle", "rb") as f:
+        test = pickle.load(f)
+    assert len(train) == 18 and len(test) == 2
+    ids = sorted(s[0][0] for s in list(train) + list(test))
+    assert ids == list(range(20))  # a partition, not a resample
+    # raw-list input (no {'train': ...} wrapper) also accepted
+    with open(src, "wb") as f:
+        pickle.dump(songs, f)
+    assert dataset.split_data(str(src), seed=1) == (18, 2)
