@@ -95,7 +95,7 @@ def _merge_heads(x: jax.Array) -> jax.Array:
     return x.transpose(0, 2, 1, 3).reshape(b, s, h * dh)
 
 
-def _ffn_backend(n_rows: int) -> str:
+def _ffn_backend(n_rows: int, dp_mesh=None) -> str:
     """FFN-tail backend for the training forward.  "pallas" routes the
     ffn1->gelu->dropout->ffn2->dropout->residual->LN2 tail through the
     fused kernel (ops/ffn_block.py, custom VJP, on-core PRNG dropout);
@@ -104,20 +104,44 @@ def _ffn_backend(n_rows: int) -> str:
     composition.  RLMG_FFN_BACKEND overrides.
 
     Default: "pallas-tail" on a single-device TPU process (measured
-    +16.3% train step over xla at the bench shape, BENCH.md r3), else
-    "xla".  Multi-device stays xla by default because under tensor
-    parallelism the FFN second matmul produces PARTIAL sums that need a
-    psum before the residual+LN — fusing LN into the kernel would
-    normalize partials; GSPMD also can't partition the opaque
-    pallas_call efficiently.  Mesh users can still force a fused backend
-    explicitly when running dp-only (batch rows shard cleanly)."""
+    +16.3% train step over xla at the bench shape, BENCH.md r3) and,
+    when the caller threads a dp-only mesh (`dp_mesh`), on multi-device
+    TPU as well — batch rows shard cleanly, so the kernel runs per-shard
+    under shard_map (no collectives in the tail).  Under tensor
+    parallelism (tp>1) the FFN second matmul produces PARTIAL sums that
+    need a psum before the residual+LN — fusing LN into the kernel would
+    normalize partials — so tp>1 always falls back to xla, even against
+    an explicit env override (correctness beats obedience; a warning
+    says so)."""
     import os
+    import warnings
+    import jax
+    tp = dp_mesh.shape.get("tp", 1) if dp_mesh is not None else 1
     v = os.environ.get("RLMG_FFN_BACKEND")
     if v:
+        if v in ("pallas", "pallas-tail"):
+            if tp > 1:
+                warnings.warn(
+                    f"RLMG_FFN_BACKEND={v} ignored under tp={tp}: the fused "
+                    "LN would normalize ffn2's partial sums (wrong "
+                    "numerics).  Falling back to xla for this layer.")
+                return "xla"
+            if dp_mesh is None and jax.device_count() > 1:
+                warnings.warn(
+                    f"RLMG_FFN_BACKEND={v} forced with "
+                    f"{jax.device_count()} devices and no dp mesh: GSPMD "
+                    "cannot partition the opaque kernel — thread a dp-only "
+                    "mesh (train_losses dp_mesh=...) to shard it, or "
+                    "expect replicated execution.")
         return v      # explicit choice wins at any shape
-    import jax
-    if (jax.default_backend() == "tpu" and jax.device_count() == 1
-            and n_rows >= _ffn_min_rows()):
+    if jax.default_backend() != "tpu" or tp > 1:
+        return "xla"
+    if dp_mesh is not None:
+        dp = dp_mesh.shape.get("dp", 1)
+        if dp > 1:
+            # per-shard rows are what the kernel sees
+            return "pallas-tail" if n_rows // dp >= _ffn_min_rows() else "xla"
+    if jax.device_count() == 1 and n_rows >= _ffn_min_rows():
         return "pallas-tail"
     return "xla"
 
@@ -139,9 +163,32 @@ def _ffn_min_rows() -> int:
     return int(os.environ.get("RLMG_FFN_MIN_ROWS", "8192"))
 
 
+def _attn_tail_dp(dp_mesh, args, seed, p, block, interpret):
+    """attn_tail_block sharded over the mesh's dp axis: batch rows split
+    per device (shard_map), weights replicated — the tail is row-local so
+    no collectives are needed.  The dropout seed is decorrelated per shard
+    (the kernel's on-core PRNG streams by row-block index, which restarts
+    at 0 on every shard)."""
+    from jax.sharding import PartitionSpec as P
+
+    from ..ops.ffn_block import attn_tail_block
+    row, rep = P("dp", None), P()
+
+    def body(h2, att2, *rest):
+        ws, sd = rest[:-1], rest[-1]
+        sd = sd + jax.lax.axis_index("dp").astype(jnp.int32) * jnp.int32(7919)
+        return attn_tail_block(h2, att2, *ws, sd, p, block, interpret)
+
+    n_weights = len(args) - 2          # weight/bias/LN leaves: replicated
+    return jax.shard_map(body, mesh=dp_mesh,
+                         in_specs=(row, row) + (rep,) * n_weights + (rep,),
+                         out_specs=row, check_vma=False)(*args, seed)
+
+
 def _layer_forward(cfg: LinearTransformerConfig, h: jax.Array, lp: dict,
                    rng: Optional[jax.Array], deterministic: bool,
-                   attn_backend: Optional[str]) -> jax.Array:
+                   attn_backend: Optional[str],
+                   dp_mesh=None) -> jax.Array:
     r1 = r2 = r3 = None
     if not deterministic and rng is not None:
         r1, r2, r3 = jax.random.split(rng, 3)
@@ -152,7 +199,8 @@ def _layer_forward(cfg: LinearTransformerConfig, h: jax.Array, lp: dict,
                      or os.environ.get("RLMG_ATTN_BACKEND"))
     fused_ok = explicit_attn in (None, "", "xla")
     if (h.ndim == 3 and fused_ok
-            and _ffn_backend(h.shape[0] * h.shape[1]) == "pallas-tail"):
+            and _ffn_backend(h.shape[0] * h.shape[1], dp_mesh)
+            == "pallas-tail"):
         # whole post-attention tail (Wo + drop + res + LN1 + FFN + LN2)
         # in one fused kernel (ops/ffn_block.py:attn_tail_block), with the
         # attention run in head-minor (B,S,H,E) layout so q/k/v/att are
@@ -175,15 +223,22 @@ def _layer_forward(cfg: LinearTransformerConfig, h: jax.Array, lp: dict,
         p = 0.0 if (deterministic or r1 is None) else cfg.dropout
         seed = (jax.random.randint(r1, (), 0, 2 ** 30, dtype=jnp.int32)
                 if p > 0.0 else jnp.int32(0))
-        out = attn_tail_block(
-            h.reshape(b * s, d), att.reshape(b * s, d),
-            lp["wo"]["w"], lp["wo"]["b"],
-            lp["ln1"]["scale"], lp["ln1"]["bias"],
-            lp["ffn1"]["w"], lp["ffn1"]["b"],
-            lp["ffn2"]["w"], lp["ffn2"]["b"],
-            lp["ln2"]["scale"], lp["ln2"]["bias"], seed, p,
-            int(_os.environ.get("RLMG_FFN_BLOCK", "256")),
-            _os.environ.get("RLMG_FFN_INTERPRET") == "1")
+        args = (h.reshape(b * s, d), att.reshape(b * s, d),
+                lp["wo"]["w"], lp["wo"]["b"],
+                lp["ln1"]["scale"], lp["ln1"]["bias"],
+                lp["ffn1"]["w"], lp["ffn1"]["b"],
+                lp["ffn2"]["w"], lp["ffn2"]["b"],
+                lp["ln2"]["scale"], lp["ln2"]["bias"])
+        block = int(_os.environ.get("RLMG_FFN_BLOCK", "256"))
+        interp = _os.environ.get("RLMG_FFN_INTERPRET") == "1"
+        if dp_mesh is not None and dp_mesh.shape.get("dp", 1) > 1:
+            # dp-only mesh: run the kernel per batch shard (shard_map) —
+            # GSPMD cannot partition the opaque pallas_call, so without
+            # this the mesh used to silently drop to the all-XLA layer
+            # (VERDICT r3 #5)
+            out = _attn_tail_dp(dp_mesh, args, seed, p, block, interp)
+        else:
+            out = attn_tail_block(*args, seed, p, block, interp)
         return out.reshape(b, s, d)
     q = _split_heads(cm.linear(lp["wq"], h), cfg.n_head)
     k = _split_heads(cm.linear(lp["wk"], h), cfg.n_head)
@@ -216,7 +271,8 @@ def _layer_forward(cfg: LinearTransformerConfig, h: jax.Array, lp: dict,
 def forward_hidden(params: dict, cfg: LinearTransformerConfig, x: jax.Array,
                    *, deterministic: bool = True,
                    rng: Optional[jax.Array] = None,
-                   attn_backend: Optional[str] = None) -> jax.Array:
+                   attn_backend: Optional[str] = None,
+                   dp_mesh=None) -> jax.Array:
     """x (B, S, n_fields) int32 -> h (B, S, D).
 
     Mirrors dqn_policy/model.py:200-233 (embeddings -> in_linear -> pos-enc
@@ -244,7 +300,8 @@ def forward_hidden(params: dict, cfg: LinearTransformerConfig, x: jax.Array,
     def body(h, inp):
         lp, lr = inp
         f = lambda h_, lp_, lr_: _layer_forward(cfg, h_, lp_, lr_,
-                                                deterministic, attn_backend)
+                                                deterministic, attn_backend,
+                                                dp_mesh)
         if cfg.remat:
             # per-layer rematerialization: only layer INPUTS are saved for
             # the backward pass (un-rematted B=128 fwd+bwd needs 17.5GB
@@ -281,12 +338,17 @@ def train_losses(params: dict, cfg: LinearTransformerConfig, x: jax.Array,
                  target: jax.Array, mask: jax.Array, *,
                  deterministic: bool = False,
                  rng: Optional[jax.Array] = None,
-                 attn_backend: Optional[str] = None) -> jax.Array:
+                 attn_backend: Optional[str] = None,
+                 dp_mesh=None) -> jax.Array:
     """Per-field masked CE (n_fields,), as LinearTransformer.train_step
-    (dqn_policy/model.py:170-197)."""
+    (dqn_policy/model.py:170-197).
+
+    `dp_mesh`: a ('dp','tp') Mesh with tp==1 opts the fused training tail
+    into dp-sharded execution (shard_map over batch rows) instead of
+    silently falling back to the all-XLA layer on multi-device."""
     from ..ops.losses import fields_cross_entropy
     h = forward_hidden(params, cfg, x, deterministic=deterministic, rng=rng,
-                       attn_backend=attn_backend)
+                       attn_backend=attn_backend, dp_mesh=dp_mesh)
     logits = forward_output(params, cfg, h)
     return fields_cross_entropy(logits, target, mask)
 

@@ -29,19 +29,25 @@ from . import optim
 # jitted steps
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.jit, static_argnames=("cfg", "tx"))
+@functools.partial(jax.jit, static_argnames=("cfg", "tx", "dp_mesh"))
 def agent_train_step(params, opt_state, cfg: LinearTransformerConfig, tx,
-                     x, y, mask, rng):
+                     x, y, mask, rng, dp_mesh=None):
     """One CE pretrain step -> (params', opt_state', (loss, per-field)).
 
     With cfg.dtype == 'bfloat16' this is mixed precision: f32 master weights
     in the optimizer, bf16 compute (the CE reduces in f32; the Pallas
-    attention kernels accumulate in f32 regardless)."""
+    attention kernels accumulate in f32 regardless).
+
+    `dp_mesh` (static; a Mesh is hashable): a dp-only mesh keeps the fused
+    Pallas training tail by running it per batch shard under shard_map —
+    without it, multi-device falls back to the all-XLA layer
+    (models/linear_transformer.py:_ffn_backend)."""
     def loss_fn(p):
         if cfg.dtype != "float32":
             p = jax.tree_util.tree_map(
                 lambda a: a.astype(cfg.dtype), p)
-        losses = lt.train_losses(p, cfg, x, y, mask, deterministic=False, rng=rng)
+        losses = lt.train_losses(p, cfg, x, y, mask, deterministic=False,
+                                 rng=rng, dp_mesh=dp_mesh)
         return jnp.mean(losses), losses
 
     (loss, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
@@ -116,6 +122,11 @@ def pretrain(params, cfg, train_x, train_y, train_mask,
     if mesh is not None:
         from ..parallel import shard_batch, shard_params
         params = shard_params(mesh, params)
+    if (mesh is not None and mesh.shape.get("tp", 1) == 1
+            and step_fn is agent_train_step):
+        # dp-only mesh: keep the fused Pallas tail (sharded per batch
+        # shard); tp>1 must stay on the all-XLA layer (partial-sum LN)
+        step_fn = functools.partial(step_fn, dp_mesh=mesh)
 
     n = len(train_x)
     num_batch = n // pcfg.batch_size
