@@ -1,7 +1,9 @@
-# NOTE: the `ffn_block` FUNCTION is deliberately not re-exported here —
-# binding it in the package namespace would shadow the `ops.ffn_block`
-# SUBMODULE for `from ...ops import ffn_block` imports.  Use
-# `from ...ops.ffn_block import ffn_block` for the function.
+# NOTE: functions whose name equals their submodule (`ffn_block`,
+# `window_attention`) are deliberately not re-exported here — binding them
+# in the package namespace would shadow the submodule for
+# `from ...ops import <name>` imports.  Module-path imports are canonical:
+# `from ...ops.ffn_block import ffn_block`,
+# `from ...ops.window_attention import window_attention`.
 from .ffn_block import attn_tail_block
 from .linear_attention import (
     causal_linear_attention,
@@ -13,7 +15,7 @@ from .linear_attention import (
 )
 from .losses import binary_cross_entropy, fields_cross_entropy, masked_cross_entropy
 from .sampling import CP_SAMPLING, FieldSampling, sample, sample_fields
-from .window_attention import window_attention, window_attention_bshe
+from .window_attention import window_attention_bshe
 
 __all__ = [
     "attn_tail_block",
@@ -30,6 +32,5 @@ __all__ = [
     "FieldSampling",
     "sample",
     "sample_fields",
-    "window_attention",
     "window_attention_bshe",
 ]

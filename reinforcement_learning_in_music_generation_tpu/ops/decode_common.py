@@ -27,7 +27,25 @@ def decode_state_dtype() -> jnp.dtype:
     Set RLMG_DECODE_STATE_DTYPE=float32 for bit-parity with the XLA/scan
     decode path.
     """
-    return jnp.dtype(os.environ.get("RLMG_DECODE_STATE_DTYPE", "bfloat16"))
+    env = os.environ.get("RLMG_DECODE_STATE_DTYPE")
+    if env is None:
+        # one-time notice (ADVICE r3): the bf16 default changed decode
+        # numerics vs pre-r3 runs — make stream-level divergence
+        # attributable without digging through env vars
+        global _DEFAULT_LOGGED
+        if not _DEFAULT_LOGGED:
+            _DEFAULT_LOGGED = True
+            import logging
+            logging.getLogger(__name__).info(
+                "decode recurrent-state dtype defaulting to bfloat16 "
+                "(greedy streams byte-identical to f32 at tested depths; "
+                "RLMG_DECODE_STATE_DTYPE=float32 restores the pre-r3 "
+                "default)")
+        return jnp.dtype("bfloat16")
+    return jnp.dtype(env)
+
+
+_DEFAULT_LOGGED = False
 
 
 # ---------------------------------------------------------------------------

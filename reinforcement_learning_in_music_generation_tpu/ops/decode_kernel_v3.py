@@ -26,6 +26,14 @@ v3 fuses the ENTIRE 12-layer step into ONE pallas_call with grid (L, H):
 
 Replaces the hot loop of dqn_policy/model.py:141-150,236-298 (the
 fast_transformers recurrent decoder).
+
+PRODUCTION ROLE (r4): v3 stays in production `ops/` for two reasons —
+(1) it is the fused per-step fallback for ODD head counts: v4's head-pair
+packing requires n_head % 2 == 0 (generate/sampler.py dispatches v4 when
+even, v3 otherwise); (2) it hosts the shared Mosaic-safe kernel helpers
+(_phi, _ln, _erf, _gelu_exact) imported by decode_kernel_v4/_v6 and
+ffn_block.  The superseded experiments (v1/v2 per-layer, v5 persistent)
+live in ops/experimental/ with their negative results documented.
 """
 
 from __future__ import annotations
