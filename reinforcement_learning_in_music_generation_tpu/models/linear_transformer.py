@@ -197,7 +197,7 @@ def _layer_forward(cfg: LinearTransformerConfig, h: jax.Array, lp: dict,
     # head-minor XLA chunked form; "xla"/None are compatible with it
     explicit_attn = (attn_backend or cfg.attn_backend
                      or os.environ.get("RLMG_ATTN_BACKEND"))
-    fused_ok = explicit_attn in (None, "", "xla")
+    fused_ok = explicit_attn in (None, "", "xla", "pallas-qkv")
     if (h.ndim == 3 and fused_ok
             and _ffn_backend(h.shape[0] * h.shape[1], dp_mesh)
             == "pallas-tail"):
@@ -212,11 +212,27 @@ def _layer_forward(cfg: LinearTransformerConfig, h: jax.Array, lp: dict,
         import os as _os
         b, s, d = h.shape
         dh = d // cfg.n_head
-        bshe = lambda x: x.reshape(b, s, cfg.n_head, dh)
-        att = causal_linear_attention_bshe(
-            bshe(cm.linear(lp["wq"], h)), bshe(cm.linear(lp["wk"], h)),
-            bshe(cm.linear(lp["wv"], h)), eps=cfg.attn_eps,
-            chunk=cfg.attn_chunk)
+        if explicit_attn == "pallas-qkv" and cfg.n_head % 2 == 0:
+            # r4: qkv projection + chunked recurrence in ONE pallas
+            # kernel (ops/attention_block.py) — the (N, 3D) qkv tensor
+            # and the per-chunk (C, C) score matrices never touch HBM.
+            # Opt-in until the on-chip A/B lands (BENCH.md r4).
+            from ..ops.attention_block import qkv_attention_block
+            wqkv = jnp.concatenate(
+                [lp["wq"]["w"], lp["wk"]["w"], lp["wv"]["w"]], axis=-1)
+            bqkv = jnp.concatenate(
+                [lp["wq"]["b"], lp["wk"]["b"], lp["wv"]["b"]])
+            att = qkv_attention_block(
+                h.reshape(b * s, d), wqkv, bqkv, b, cfg.n_head,
+                chunk=min(cfg.attn_chunk, s), eps=cfg.attn_eps,
+                interpret=_os.environ.get("RLMG_ATTN_INTERPRET") == "1",
+            ).reshape(b, s, d)
+        else:
+            bshe = lambda x: x.reshape(b, s, cfg.n_head, dh)
+            att = causal_linear_attention_bshe(
+                bshe(cm.linear(lp["wq"], h)), bshe(cm.linear(lp["wk"], h)),
+                bshe(cm.linear(lp["wv"], h)), eps=cfg.attn_eps,
+                chunk=cfg.attn_chunk)
         # rng=None means "no dropout" (cm.dropout semantics), NOT
         # "dropout with a fixed seed" — p must follow r1, else the fused
         # path would apply identical seed-0 masks every layer/step
@@ -240,13 +256,31 @@ def _layer_forward(cfg: LinearTransformerConfig, h: jax.Array, lp: dict,
         else:
             out = attn_tail_block(*args, seed, p, block, interp)
         return out.reshape(b, s, d)
-    q = _split_heads(cm.linear(lp["wq"], h), cfg.n_head)
-    k = _split_heads(cm.linear(lp["wk"], h), cfg.n_head)
-    v = _split_heads(cm.linear(lp["wv"], h), cfg.n_head)
-    att = causal_linear_attention(q, k, v, eps=cfg.attn_eps,
-                                  backend=attn_backend or cfg.attn_backend,
-                                  chunk=cfg.attn_chunk)
-    att = cm.linear(lp["wo"], _merge_heads(att))
+    if explicit_attn == "pallas-qkv" and h.ndim == 3 and cfg.n_head % 2 == 0:
+        # fused qkv+attention kernel without the fused tail (the tail
+        # backend decision is orthogonal — see ops/attention_block.py)
+        from ..ops.attention_block import qkv_attention_block
+        b3, s3, d3 = h.shape
+        wqkv = jnp.concatenate(
+            [lp["wq"]["w"], lp["wk"]["w"], lp["wv"]["w"]], axis=-1)
+        bqkv = jnp.concatenate(
+            [lp["wq"]["b"], lp["wk"]["b"], lp["wv"]["b"]])
+        att = qkv_attention_block(
+            h.reshape(b3 * s3, d3), wqkv, bqkv, b3, cfg.n_head,
+            chunk=min(cfg.attn_chunk, s3), eps=cfg.attn_eps,
+            interpret=os.environ.get("RLMG_ATTN_INTERPRET") == "1",
+        ).reshape(b3, s3, d3)
+    else:
+        q = _split_heads(cm.linear(lp["wq"], h), cfg.n_head)
+        k = _split_heads(cm.linear(lp["wk"], h), cfg.n_head)
+        v = _split_heads(cm.linear(lp["wv"], h), cfg.n_head)
+        ca_backend = attn_backend or cfg.attn_backend
+        if ca_backend == "pallas-qkv":   # odd heads / 2D h can't pair-pack
+            ca_backend = "xla"
+        att = _merge_heads(causal_linear_attention(
+            q, k, v, eps=cfg.attn_eps,
+            backend=ca_backend, chunk=cfg.attn_chunk))
+    att = cm.linear(lp["wo"], att)
     h = cm.layernorm(lp["ln1"], h + cm.dropout(r1, att, cfg.dropout, deterministic))
     if h.ndim == 3 and _ffn_backend(h.shape[0] * h.shape[1]) == "pallas":
         from ..ops.ffn_block import ffn_block
