@@ -12,6 +12,9 @@ import pytest
 
 
 
+
+pytestmark = pytest.mark.slow  # end-to-end CLI loops (~70s CPU); run with -m "" or -m slow
+
 def _cli():
     from reinforcement_learning_in_music_generation_tpu.apps import cli
     return cli

@@ -2,9 +2,14 @@
 
 import importlib
 
+import pytest
+
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+
+pytestmark = pytest.mark.slow  # superseded v1/v2 kernels (ops/experimental); run with -m "" or -m slow
 
 from reinforcement_learning_in_music_generation_tpu import config as C
 from reinforcement_learning_in_music_generation_tpu.models import (

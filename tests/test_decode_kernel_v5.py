@@ -7,9 +7,14 @@ embedding fold, and the state repacking.  On-chip greedy parity vs the XLA
 path is checked by scripts/profile_decode_v5.py (results in BENCH.md).
 """
 
+import pytest
+
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+
+pytestmark = pytest.mark.slow  # superseded v5 kernel (ops/experimental); run with -m "" or -m slow
 
 from reinforcement_learning_in_music_generation_tpu import config as C
 from reinforcement_learning_in_music_generation_tpu.models import (

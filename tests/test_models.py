@@ -2,6 +2,7 @@
 longformer variants."""
 
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -81,6 +82,7 @@ def test_value_head_and_critic():
     assert bool(jnp.all(jnp.isfinite(val)))
 
 
+@pytest.mark.slow  # builds all three Longformer presets (~9s warm)
 def test_longformer_variants():
     cfg = C.WindowTransformerConfig(
         vocab_sizes=SMALL.vocab_sizes, emb_sizes=(8,) * 6,
@@ -123,6 +125,7 @@ def test_window_locality():
     assert not np.allclose(h1[0, 9], h2[0, 9])
 
 
+@pytest.mark.slow  # instantiates the full 12-layer flagship (~9s warm)
 def test_param_count_flagship():
     cfg = C.agent_config()
     params = lt.init_params(jax.random.PRNGKey(0), cfg)

@@ -232,6 +232,7 @@ def _mesh_and_sharded(params):
     return mesh, shard_params(mesh, params)
 
 
+@pytest.mark.slow  # sharded parity also exercised by the driver dryrun
 def test_airl_disc_epoch_sharded_matches_single_device():
     """disc_epoch with Megatron-sharded discriminator weights and the
     buffers sharded over dp reproduces the single-device losses."""
@@ -257,6 +258,7 @@ def test_airl_disc_epoch_sharded_matches_single_device():
                                float(ref["global_loss"]), rtol=2e-4)
 
 
+@pytest.mark.slow  # sharded parity also exercised by the driver dryrun
 def test_ppo_update_policy_sharded_matches_single_device():
     """update_policy_step with sharded actor/critic weights and dp-sharded
     transitions reproduces the single-device actor/critic losses."""
@@ -329,6 +331,7 @@ def test_ppo_rollout_sharded_matches_single_device():
                                atol=1e-5)
 
 
+@pytest.mark.slow  # statistical learning-effect check
 def test_airl_disc_separates_on_separable_data():
     """Learning-effect regression (VERDICT r2 #3): on trivially separable
     expert/agent buffers the discriminator must pull mean scores apart —
@@ -353,6 +356,7 @@ def test_airl_disc_separates_on_separable_data():
     assert float(agent_r.mean()) < 0.3, float(agent_r.mean())
 
 
+@pytest.mark.slow  # statistical learning-effect check, not a regression guard
 def test_ppo_climbs_informative_reward(monkeypatch):
     """Learning-effect evidence (VERDICT r2 #3b): with an informative
     reward (fraction of pitch-field tokens equal to 3) injected in place

@@ -2,6 +2,7 @@
 (dqn_policy/model.py:19-55)."""
 
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -122,6 +123,7 @@ def test_fused_matches_per_field_under_shared_uniform():
     assert n_match >= n_cmp - 2, (n_match, n_cmp)
 
 
+@pytest.mark.slow  # statistical distribution check (~33s), not a regression guard
 def test_fused_no_top_p_fields_respect_distribution():
     """barbeat/velocity (no top_p) go through the inverse-CDF path; check
     frequencies against the temperature softmax on a peaked distribution."""

@@ -4,6 +4,7 @@ import functools
 import importlib
 
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
@@ -43,6 +44,7 @@ def test_sp_forward_matches_single_device():
                                rtol=2e-4, atol=2e-4)
 
 
+@pytest.mark.slow  # 8-dev shard_map grad compile (~40s); fwd parity stays fast
 def test_sp_gradients_match_single_device():
     q, k, v = make_qkv(jax.random.PRNGKey(1), b=1, h=1, s=32, e=4)
     mesh = sp_mesh()

@@ -28,6 +28,9 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import bench_baseline_torch as bt  # noqa: E402
 
+
+pytestmark = pytest.mark.slow  # deep parity sweep (~80s CPU); run with -m "" or -m slow
+
 from reinforcement_learning_in_music_generation_tpu import config as C  # noqa: E402
 from reinforcement_learning_in_music_generation_tpu.models import (  # noqa: E402
     common as cm, linear_transformer as lt)

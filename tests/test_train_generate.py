@@ -105,6 +105,7 @@ def test_multistep_lr_schedule():
     assert np.isclose(float(sched(45)), 0.0001)
 
 
+@pytest.mark.slow  # compiles the unrolled layer scan twice (~14s warm)
 def test_scan_unroll_numerics_identical():
     """cfg.scan_unroll is pure scheduling: losses and grads match the
     rolled scan bit-for-bit-ish (same op order within a layer)."""
@@ -206,6 +207,7 @@ def test_generate_fused_sampling_stochastic_valid():
         assert toks[..., f].min() >= 0 and toks[..., f].max() < v
 
 
+@pytest.mark.slow  # two full train-step compiles (~28s warm)
 def test_remat_train_step_matches_nonremat():
     """cfg.remat=True only changes what is SAVED for backward: the loss is
     bit-identical; gradients match to f32 rounding (XLA fuses the

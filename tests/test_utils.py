@@ -4,6 +4,7 @@ import json
 import os
 
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -88,6 +89,7 @@ def test_runtime_stats_contract(tmp_path):
     assert data["ave song time"] == 2.0
 
 
+@pytest.mark.slow  # writes a real jax.profiler trace (~8s of IO)
 def test_profile_trace_writes_trace(tmp_path):
     from reinforcement_learning_in_music_generation_tpu.utils import profile_trace
     import jax.numpy as jnp

@@ -1,6 +1,7 @@
 """Blocked vs dense window attention parity."""
 
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -31,6 +32,7 @@ def test_blocked_matches_dense():
                                    rtol=2e-5, atol=2e-5)
 
 
+@pytest.mark.slow  # optional relative-key variant (~8s)
 def test_blocked_matches_dense_relative():
     q, k, v, mask = make(s=64)
     rel = jax.random.normal(jax.random.PRNGKey(9), (2 * 16 + 1, q.shape[-1])) * 0.1
@@ -41,6 +43,7 @@ def test_blocked_matches_dense_relative():
                                rtol=2e-5, atol=2e-5)
 
 
+@pytest.mark.slow  # long-sequence dispatch probe (~9s)
 def test_dispatch_uses_blocked_for_long_seqs():
     q, k, v, mask = make(s=1200, d=4, h=1, b=1)
     out = wa.window_attention(q, k, v, mask, window=32, block_threshold=1024)
@@ -49,6 +52,7 @@ def test_dispatch_uses_blocked_for_long_seqs():
                                rtol=2e-5, atol=2e-5)
 
 
+@pytest.mark.slow  # gradient cousin of blocked_matches_dense (~8s)
 def test_blocked_gradients_flow():
     q, k, v, mask = make(s=48, d=4)
 
@@ -62,6 +66,7 @@ def test_blocked_gradients_flow():
         assert float(jnp.abs(g).sum()) > 0
 
 
+@pytest.mark.slow  # cross-layout sweep (~22s); integration guarded by test_models
 def test_bshe_matches_bhsd_dense_and_blocked():
     """window_attention_bshe == window_attention on transposed tensors,
     in both dispatch regimes, with and without rel_emb, incl. grads."""
