@@ -99,6 +99,35 @@ def use_persistent_decode(batch: Optional[int] = None) -> bool:
         return False
 
 
+def latency_max_batch() -> int:
+    """Largest batch routed to the v7 weight-resident latency kernel
+    (ops/decode_kernel_v7): all ~79 MB of bf16 weights stay VMEM-resident
+    for the whole chunk, removing the per-token weight stream that binds
+    the v4 per-step path at small batch (~184 us of its 284 us/step at
+    B=1, BENCH.md r3 latency table).  0 disables the path.
+
+    Default 0 (opt-in) until the on-chip A/B lands — the platform lesson
+    is that defaults only claim shapes with a measured win.
+    RLMG_LATENCY_MAX_BATCH overrides."""
+    return int(os.environ.get("RLMG_LATENCY_MAX_BATCH", "0"))
+
+
+def use_latency_decode(batch: Optional[int] = None) -> bool:
+    """v7 weight-resident persistent kernel auto-dispatch: TPU, stochastic,
+    batch <= latency_max_batch().  RLMG_LATENCY_DECODE=0/1 overrides
+    everything.  Like v6 this is a throughput-equivalent stochastic path
+    (bf16 MXU rounding), so greedy runs never auto-dispatch here."""
+    env = os.environ.get("RLMG_LATENCY_DECODE")
+    if env is not None:
+        return env == "1"
+    if batch is None or batch > latency_max_batch():
+        return False
+    try:
+        return jax.default_backend() in ("tpu", "axon")
+    except Exception:
+        return False
+
+
 def decode_state_dtype():
     """Storage dtype for the recurrent decode state — shared across ALL
     fused decode paths so the env var cannot mean different things per
@@ -163,30 +192,85 @@ def _persistent_chunk_fn(cfg, n, greedy, temps, topps):
     return chunk
 
 
+@functools.lru_cache(maxsize=16)
+def _latency_pack_fn(cfg, dtype_str):
+    from ..models import common as cm
+    from ..ops import decode_kernel_v7 as dk7
+
+    @jax.jit
+    def pack(params):
+        pe = cm.sinusoidal_table(cfg.max_len, cfg.d_model, jnp.float32)
+        return dk7.make_v7_params(params, cfg, pe,
+                                  dtype=jnp.dtype(dtype_str))
+    return pack
+
+
+@functools.lru_cache(maxsize=16)
+def _latency_seed_fn(cfg, dtype_str, state_dtype_str):
+    """Teacher-forced seeding through the XLA recurrent path + packing
+    into the v4/v7 head-pair state layout."""
+    from ..models import common as cm
+    from ..ops import decode_kernel_v7 as dk7
+    dtype = jnp.dtype(dtype_str)
+    sdt = jnp.dtype(state_dtype_str)
+
+    @jax.jit
+    def seed(params, init_tokens, state):
+        pe = cm.sinusoidal_table(cfg.max_len, cfg.d_model, dtype)
+        b = init_tokens.shape[0]
+
+        def body(carry, tok):
+            h, st = carry
+            h, st = lt.decode_step(params, cfg, tok, st, pe_table=pe)
+            return (h, st), None
+
+        h0 = jnp.zeros((b, cfg.d_model), dtype)
+        (h, st), _ = jax.lax.scan(body, (h0, state),
+                                  init_tokens.transpose(1, 0, 2))
+        s4, z4 = dk7.pack_state_pair(st.s.astype(jnp.float32).astype(sdt),
+                                     st.z.astype(jnp.float32).astype(sdt))
+        return st, s4, z4
+    return seed
+
+
+@functools.lru_cache(maxsize=32)
+def _latency_chunk_fn(cfg, n, greedy, temps, topps):
+    from ..ops import decode_kernel_v7 as dk7
+
+    @jax.jit
+    def chunk(v7p, tokT, s4, z4, seed, t_start):
+        return dk7.fused_decode_v7(
+            v7p, tokT, s4, z4, t_start, seed, n_head=cfg.n_head,
+            max_tokens=n, vocab_sizes=cfg.vocab_sizes, temps=temps,
+            topps=topps, greedy=greedy, eps=cfg.attn_eps)
+    return chunk
+
+
 import collections
 
-_V6P_CACHE: "collections.OrderedDict" = collections.OrderedDict()
-_V6P_CACHE_SIZE = 8
+_PACKED_CACHE: "collections.OrderedDict" = collections.OrderedDict()
+_PACKED_CACHE_SIZE = 8
 
 
-def _packed_v6(params, cfg, dtype):
-    """Pack (transpose) the weights into the v6 layout once per params
-    object: serving reuses the same weights call after call, and repacking
-    ~50MB of transposes every generate call was a measurable slice of the
-    v6 integration overhead (BENCH.md r3).  Keyed on object identity with
-    a strong ref, so the id cannot be recycled while cached; LRU eviction
-    (VERDICT r3 weak #6: the old clear-all repacked every live entry when
-    a serving workload cycled >8 param sets)."""
-    key = (id(params), cfg, str(dtype))
-    hit = _V6P_CACHE.get(key)
+def _packed_decode_params(params, cfg, dtype, backend: str):
+    """Pack the weights into the v6 (transposed) or v7 (pair/resident)
+    layout once per params object: serving reuses the same weights call
+    after call, and repacking ~50MB of transposes every generate call was
+    a measurable slice of the v6 integration overhead (BENCH.md r3).
+    Keyed on object identity with a strong ref, so the id cannot be
+    recycled while cached; LRU eviction (VERDICT r3 weak #6)."""
+    key = (id(params), cfg, str(dtype), backend)
+    hit = _PACKED_CACHE.get(key)
     if hit is not None and hit[0] is params:
-        _V6P_CACHE.move_to_end(key)
+        _PACKED_CACHE.move_to_end(key)
         return hit[1]
-    v6p = _persistent_pack_fn(cfg, str(dtype))(params)
-    while len(_V6P_CACHE) >= _V6P_CACHE_SIZE:
-        _V6P_CACHE.popitem(last=False)
-    _V6P_CACHE[key] = (params, v6p)
-    return v6p
+    pack = (_persistent_pack_fn if backend == "v6"
+            else _latency_pack_fn)(cfg, str(dtype))
+    packed = pack(params)
+    while len(_PACKED_CACHE) >= _PACKED_CACHE_SIZE:
+        _PACKED_CACHE.popitem(last=False)
+    _PACKED_CACHE[key] = (params, packed)
+    return packed
 
 
 def generate_tokens_persistent(params, cfg: LinearTransformerConfig,
@@ -215,20 +299,53 @@ def generate_tokens_persistent(params, cfg: LinearTransformerConfig,
     (MXU bf16-input rounding differs across layouts — decode_kernel_v6
     docstring); the exact invariant is chunk invariance, gated by
     tests/test_persistent_decode_tpu.py."""
-    from ..ops import decode_kernel_v6 as dk6
+    return _generate_tokens_chunked(
+        "v6", params, cfg, rng, init_tokens, max_tokens=max_tokens,
+        bar_cond=bar_cond, token_count=token_count,
+        barbeat_field=barbeat_field, bar_token_id=bar_token_id,
+        greedy=greedy, settings=settings, chunk=chunk)
 
+
+def generate_tokens_latency(params, cfg: LinearTransformerConfig,
+                            rng: jax.Array, init_tokens: jax.Array, *,
+                            max_tokens: int,
+                            bar_cond: Optional[int] = None,
+                            token_count: Optional[int] = None,
+                            barbeat_field: int = 2, bar_token_id: int = 1,
+                            greedy: bool = False,
+                            settings: Tuple[smp.FieldSampling, ...] =
+                            tuple(smp.CP_SAMPLING),
+                            chunk: Optional[int] = None) -> GenResult:
+    """generate_tokens via the v7 weight-resident latency kernel
+    (ops/decode_kernel_v7): same chunked structure as the v6 persistent
+    path, but all weights stay VMEM-resident across the chunk, so the
+    per-token HBM traffic is one pe row in and one token row out —
+    built for the reference's actual serving scenario (one song at a
+    time, dqn_policy/testing-no-type-cp.py:182-224).  Batch pads to a
+    multiple of 8 (sublane tile); intended for B <= latency_max_batch()."""
+    return _generate_tokens_chunked(
+        "v7", params, cfg, rng, init_tokens, max_tokens=max_tokens,
+        bar_cond=bar_cond, token_count=token_count,
+        barbeat_field=barbeat_field, bar_token_id=bar_token_id,
+        greedy=greedy, settings=settings, chunk=chunk)
+
+
+def _generate_tokens_chunked(backend: str, params, cfg, rng, init_tokens, *,
+                             max_tokens, bar_cond, token_count,
+                             barbeat_field, bar_token_id, greedy, settings,
+                             chunk) -> GenResult:
     b_real, t0_len, nf = init_tokens.shape
     if chunk is None:
         # fixed token budget: one kernel call for everything (chunk=256 vs
         # 128 at B=1024 measured +1.3%, no inter-chunk dispatch latency),
-        # capped at 256 — the per-step pe slab input is (T, D, 128) f32,
+        # capped at 256 — the v6 per-step pe slab input is (T, D, 128) f32,
         # so unbounded T would drag a multi-hundred-MB operand along.
         # bar-stop runs: 128 keeps the host exit check reasonably granular.
         chunk = min(max_tokens, 256) if bar_cond is None else 128
-    # batch rides the LANE dimension in the transposed kernel, so it must
-    # be a multiple of the 128-lane tile; pad with copies of song 0 and
-    # slice the results back
-    b = -(-b_real // 128) * 128
+    # v6 carries batch on the LANE dimension (128-tile); v7 on sublanes
+    # (8-tile).  Pad with copies of song 0 and slice the results back.
+    tile = 128 if backend == "v6" else 8
+    b = -(-b_real // tile) * tile
     if b != b_real:
         pad = jnp.tile(init_tokens[:1], (b - b_real, 1, 1))
         init_tokens = jnp.concatenate([init_tokens, pad], axis=0)
@@ -236,16 +353,17 @@ def generate_tokens_persistent(params, cfg: LinearTransformerConfig,
     sdt = decode_state_dtype()
 
     # all jitted pieces are module-level LRU caches keyed on static config
-    # (params/v6p are TRACED args) — defining them per call would pay a
+    # (params/packed are TRACED args) — defining them per call would pay a
     # compile-cache reload (~45s through the tunnel) on every invocation
-    v6p = _packed_v6(params, cfg, dtype)
+    packed = _packed_decode_params(params, cfg, dtype, backend)
     state = lt.init_decode_state(cfg, b)
     # kernel contract (parity-verified by scripts/profile_decode_v6.py):
     # the state is BEFORE tok0T — the kernel feeds tok0T itself at
     # position t_start and emits its successor.  So teacher-force all
     # init tokens EXCEPT the last, and hand the kernel the last one.
-    state, s6, z6 = _persistent_seed_fn(cfg, str(dtype), str(sdt))(
-        params, init_tokens[:, :-1, :], state)
+    seed_fn = (_persistent_seed_fn if backend == "v6"
+               else _latency_seed_fn)(cfg, str(dtype), str(sdt))
+    state, s_p, z_p = seed_fn(params, init_tokens[:, :-1, :], state)
     tokT = init_tokens[:, -1, :].astype(jnp.int32).T      # (nf, B)
 
     temps = tuple(s.temperature for s in settings)
@@ -257,10 +375,13 @@ def generate_tokens_persistent(params, cfg: LinearTransformerConfig,
     # seed0 + done_t can never overflow int32.
     seed0 = (jax.random.randint(rng, (), 0, 2 ** 31 - 1)
              & 0x3FFFFFFF).astype(jnp.int32)
+    chunk_cache = (_persistent_chunk_fn if backend == "v6"
+                   else _latency_chunk_fn)
 
     def chunk_fn(tokT, s6, z6, seed, t_start, n):
-        return _persistent_chunk_fn(cfg, n, greedy, temps, topps)(
-            v6p, tokT, s6, z6, seed, t_start)
+        return chunk_cache(cfg, n, greedy, temps, topps)(
+            packed, tokT, s6, z6, seed, t_start)
+    s6, z6 = s_p, z_p
 
     init_bars = jnp.sum(init_tokens[..., barbeat_field] == bar_token_id,
                         axis=1).astype(jnp.int32)
@@ -525,13 +646,18 @@ def generate_songs(params, cfg: LinearTransformerConfig,
         # throughput-mode greedy for users who prefer speed over
         # bit-stability.  Invariance gated by tests/test_golden_decode.py.
         use_pers = os.environ.get("RLMG_PERSISTENT_DECODE") == "1"
+        use_lat = os.environ.get("RLMG_LATENCY_DECODE") == "1"
         use_f = os.environ.get("RLMG_FUSED_DECODE") == "1"
         use_fs = os.environ.get("RLMG_FUSED_SAMPLING") == "1"
     else:
         use_pers = use_persistent_decode(batch=b)
+        use_lat = use_latency_decode(batch=b)
         use_f = use_fused_decode()
         use_fs = use_fused_sampling()
-    if mesh is None and use_pers:
+    if mesh is None and use_lat:
+        res = generate_tokens_latency(params, cfg, rng, init_tokens,
+                                      **kwargs)
+    elif mesh is None and use_pers:
         res = generate_tokens_persistent(params, cfg, rng, init_tokens,
                                          **kwargs)
     else:
