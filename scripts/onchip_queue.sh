@@ -48,6 +48,8 @@ run_job() {  # name, timeout_s, cmd...
 run_job attn_op_c128 5400 python scripts/profile_attention_block.py op 128
 # 2. full train step A/B (bench_pretrain protocol, subprocess per mode)
 run_job attn_step_ab 9000 python scripts/profile_attention_block.py
+# 2b. device trace WITH the fused qkv kernel: locates the next wall
+run_job trace_qkv 5400 env RLMG_ATTN_BACKEND=pallas-qkv python scripts/trace_pretrain.py
 # 3. v7 weight-resident latency kernel A/B at B in {1,8,16} + 5-songs
 run_job latency_v7_rate 5400 python scripts/profile_decode_latency.py rate
 run_job latency_v7_songs 5400 python scripts/profile_decode_latency.py songs
