@@ -185,6 +185,69 @@ def _attn_tail_dp(dp_mesh, args, seed, p, block, interpret):
                          out_specs=row, check_vma=False)(*args, seed)
 
 
+def _qkv_attn_dp(dp_mesh, h2d, wqkv, bqkv, n_seq, n_head, chunk, eps,
+                 interpret):
+    """qkv_attention_block sharded over the mesh's dp axis: sequences
+    split per device (shard_map), weights replicated — the chunked causal
+    recurrence is sequence-local, so no collectives are needed."""
+    from jax.sharding import PartitionSpec as P
+
+    from ..ops.attention_block import qkv_attention_block
+    dp = dp_mesh.shape["dp"]
+    row, rep = P("dp", None), P()
+
+    def body(h2, w, bq):
+        return qkv_attention_block(h2, w, bq, n_seq // dp, n_head,
+                                   chunk=chunk, eps=eps, interpret=interpret)
+
+    return jax.shard_map(body, mesh=dp_mesh,
+                         in_specs=(row, rep, rep), out_specs=row,
+                         check_vma=False)(h2d, wqkv, bqkv)
+
+
+def _qkv_attention_call(cfg, lp, h, dp_mesh):
+    """Fused qkv+attention (ops/attention_block.py) for (b, s, d) `h`,
+    mesh-aware: on a dp>1 mesh the opaque pallas_call runs per batch
+    shard under shard_map — GSPMD cannot partition a pallas_call, so
+    without this the kernel's operands would be all-gathered onto every
+    device (the same silent failure VERDICT r3 #5 found for the fused
+    tail).  Returns None when the kernel cannot serve the configuration
+    (odd n_head, 2D h, tp-sharded projections, batch not divisible by
+    dp) — callers fall back to the XLA composition."""
+    import warnings
+    if h.ndim != 3 or cfg.n_head % 2 != 0:
+        return None
+    b, s, d = h.shape
+    tp = dp_mesh.shape.get("tp", 1) if dp_mesh is not None else 1
+    dp = dp_mesh.shape.get("dp", 1) if dp_mesh is not None else 1
+    if tp > 1:
+        # wq/wk/wv are Megatron column-sharded under tp: concatenating
+        # them into the kernel's replicated (D, 3D) operand would force
+        # an all-gather and defeat the sharding — correctness beats
+        # obedience, same contract as _ffn_backend's tp guard
+        warnings.warn(
+            "attention backend pallas-qkv ignored under tp>1: the qkv "
+            "projections are tensor-sharded; using the XLA composition")
+        return None
+    if dp > 1 and b % dp != 0:
+        return None
+    wqkv = jnp.concatenate([lp["wq"]["w"], lp["wk"]["w"], lp["wv"]["w"]],
+                           axis=-1)
+    bqkv = jnp.concatenate([lp["wq"]["b"], lp["wk"]["b"], lp["wv"]["b"]])
+    chunk = min(cfg.attn_chunk, s)
+    interpret = os.environ.get("RLMG_ATTN_INTERPRET") == "1"
+    h2 = h.reshape(b * s, d)
+    if dp > 1:
+        att = _qkv_attn_dp(dp_mesh, h2, wqkv, bqkv, b, cfg.n_head, chunk,
+                           cfg.attn_eps, interpret)
+    else:
+        from ..ops.attention_block import qkv_attention_block
+        att = qkv_attention_block(h2, wqkv, bqkv, b, cfg.n_head,
+                                  chunk=chunk, eps=cfg.attn_eps,
+                                  interpret=interpret)
+    return att.reshape(b, s, d)
+
+
 def _layer_forward(cfg: LinearTransformerConfig, h: jax.Array, lp: dict,
                    rng: Optional[jax.Array], deterministic: bool,
                    attn_backend: Optional[str],
@@ -212,22 +275,14 @@ def _layer_forward(cfg: LinearTransformerConfig, h: jax.Array, lp: dict,
         import os as _os
         b, s, d = h.shape
         dh = d // cfg.n_head
-        if explicit_attn == "pallas-qkv" and cfg.n_head % 2 == 0:
+        att = None
+        if explicit_attn == "pallas-qkv":
             # r4: qkv projection + chunked recurrence in ONE pallas
             # kernel (ops/attention_block.py) — the (N, 3D) qkv tensor
             # and the per-chunk (C, C) score matrices never touch HBM.
             # Opt-in until the on-chip A/B lands (BENCH.md r4).
-            from ..ops.attention_block import qkv_attention_block
-            wqkv = jnp.concatenate(
-                [lp["wq"]["w"], lp["wk"]["w"], lp["wv"]["w"]], axis=-1)
-            bqkv = jnp.concatenate(
-                [lp["wq"]["b"], lp["wk"]["b"], lp["wv"]["b"]])
-            att = qkv_attention_block(
-                h.reshape(b * s, d), wqkv, bqkv, b, cfg.n_head,
-                chunk=min(cfg.attn_chunk, s), eps=cfg.attn_eps,
-                interpret=_os.environ.get("RLMG_ATTN_INTERPRET") == "1",
-            ).reshape(b, s, d)
-        else:
+            att = _qkv_attention_call(cfg, lp, h, dp_mesh)
+        if att is None:
             bshe = lambda x: x.reshape(b, s, cfg.n_head, dh)
             att = causal_linear_attention_bshe(
                 bshe(cm.linear(lp["wq"], h)), bshe(cm.linear(lp["wk"], h)),
@@ -256,21 +311,12 @@ def _layer_forward(cfg: LinearTransformerConfig, h: jax.Array, lp: dict,
         else:
             out = attn_tail_block(*args, seed, p, block, interp)
         return out.reshape(b, s, d)
-    if explicit_attn == "pallas-qkv" and h.ndim == 3 and cfg.n_head % 2 == 0:
+    att = None
+    if explicit_attn == "pallas-qkv":
         # fused qkv+attention kernel without the fused tail (the tail
         # backend decision is orthogonal — see ops/attention_block.py)
-        from ..ops.attention_block import qkv_attention_block
-        b3, s3, d3 = h.shape
-        wqkv = jnp.concatenate(
-            [lp["wq"]["w"], lp["wk"]["w"], lp["wv"]["w"]], axis=-1)
-        bqkv = jnp.concatenate(
-            [lp["wq"]["b"], lp["wk"]["b"], lp["wv"]["b"]])
-        att = qkv_attention_block(
-            h.reshape(b3 * s3, d3), wqkv, bqkv, b3, cfg.n_head,
-            chunk=min(cfg.attn_chunk, s3), eps=cfg.attn_eps,
-            interpret=os.environ.get("RLMG_ATTN_INTERPRET") == "1",
-        ).reshape(b3, s3, d3)
-    else:
+        att = _qkv_attention_call(cfg, lp, h, dp_mesh)
+    if att is None:
         q = _split_heads(cm.linear(lp["wq"], h), cfg.n_head)
         k = _split_heads(cm.linear(lp["wk"], h), cfg.n_head)
         v = _split_heads(cm.linear(lp["wv"], h), cfg.n_head)

@@ -164,3 +164,86 @@ def test_train_losses_grads_with_pallas_qkv(monkeypatch):
         np.testing.assert_allclose(np.asarray(a), np.asarray(r),
                                    rtol=3e-4, atol=3e-4,
                                    err_msg=jax.tree_util.keystr(kp))
+
+
+def test_pallas_qkv_dp_mesh_matches_single_device(monkeypatch):
+    """dp=8 virtual-mesh train step with pallas-qkv attention must match
+    the single-device run: the opaque pallas_call has to run per batch
+    shard under shard_map (GSPMD cannot partition it), weights
+    replicated."""
+    from reinforcement_learning_in_music_generation_tpu import config as C
+    from reinforcement_learning_in_music_generation_tpu.data import dataset
+    from reinforcement_learning_in_music_generation_tpu.models import (
+        linear_transformer as lt)
+    from reinforcement_learning_in_music_generation_tpu.parallel import (
+        make_mesh, shard_batch, shard_params)
+    from reinforcement_learning_in_music_generation_tpu.train import (
+        agent_train_step, optim)
+
+    monkeypatch.setenv("RLMG_ATTN_BACKEND", "pallas-qkv")
+    monkeypatch.setenv("RLMG_ATTN_INTERPRET", "1")
+    monkeypatch.setenv("RLMG_FFN_BACKEND", "pallas-tail")
+    monkeypatch.setenv("RLMG_FFN_INTERPRET", "1")
+    monkeypatch.setenv("RLMG_FFN_BLOCK", "32")
+    cfg = C.LinearTransformerConfig(
+        vocab_sizes=(8,) * 6, emb_sizes=(8,) * 6, d_model=32, n_layer=2,
+        n_head=2, d_inner=64, attn_chunk=8, dropout=0.0)
+    params = lt.init_params(jax.random.PRNGKey(0), cfg)
+    x, y, mask = dataset.synthetic_cp_dataset(8, 16, n_class=cfg.vocab_sizes)
+    x, y = jnp.asarray(x), jnp.asarray(y)
+    mask = jnp.asarray(mask, jnp.float32)
+    tx = optim.adam(1e-4, grad_clip=3.0)
+
+    _, _, (ref_loss, _) = agent_train_step(
+        params, tx.init(params), cfg, tx, x, y, mask, jax.random.PRNGKey(1))
+
+    mesh = make_mesh(dp=8, tp=1)
+    sp = shard_params(mesh, params)
+    bx, by, bm = shard_batch(mesh, (x, y, mask))
+    _, _, (dp_loss, _) = agent_train_step(
+        sp, tx.init(sp), cfg, tx, bx, by, bm, jax.random.PRNGKey(1),
+        dp_mesh=mesh)
+    np.testing.assert_allclose(float(dp_loss), float(ref_loss),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_pallas_qkv_tp_guard(monkeypatch):
+    """tp>1 must fall back to the XLA attention (the qkv projections are
+    tensor-sharded; the fused kernel would force an all-gather) — and the
+    run must still produce the correct loss."""
+    import warnings
+    from reinforcement_learning_in_music_generation_tpu import config as C
+    from reinforcement_learning_in_music_generation_tpu.data import dataset
+    from reinforcement_learning_in_music_generation_tpu.models import (
+        linear_transformer as lt)
+    from reinforcement_learning_in_music_generation_tpu.parallel import (
+        make_mesh, shard_batch, shard_params)
+    from reinforcement_learning_in_music_generation_tpu.train import (
+        agent_train_step, optim)
+
+    monkeypatch.setenv("RLMG_ATTN_BACKEND", "pallas-qkv")
+    monkeypatch.setenv("RLMG_ATTN_INTERPRET", "1")
+    cfg = C.LinearTransformerConfig(
+        vocab_sizes=(8,) * 6, emb_sizes=(8,) * 6, d_model=32, n_layer=1,
+        n_head=2, d_inner=64, attn_chunk=8, dropout=0.0)
+    params = lt.init_params(jax.random.PRNGKey(0), cfg)
+    x, y, mask = dataset.synthetic_cp_dataset(4, 16, n_class=cfg.vocab_sizes)
+    x, y = jnp.asarray(x), jnp.asarray(y)
+    mask = jnp.asarray(mask, jnp.float32)
+    tx = optim.adam(1e-4, grad_clip=3.0)
+
+    _, _, (ref_loss, _) = agent_train_step(
+        params, tx.init(params), cfg, tx, x, y, mask, jax.random.PRNGKey(1))
+
+    mesh = make_mesh(dp=2, tp=2)
+    sp = shard_params(mesh, params)
+    bx, by, bm = shard_batch(mesh, (x, y, mask))
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        _, _, (tp_loss, _) = agent_train_step(
+            sp, tx.init(sp), cfg, tx, bx, by, bm, jax.random.PRNGKey(1),
+            dp_mesh=mesh)
+        tp_loss = float(tp_loss)
+    assert any("pallas-qkv" in str(w.message) for w in rec)
+    np.testing.assert_allclose(tp_loss, float(ref_loss),
+                               rtol=1e-5, atol=1e-5)
