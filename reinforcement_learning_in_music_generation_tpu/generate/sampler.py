@@ -654,6 +654,10 @@ def generate_songs(params, cfg: LinearTransformerConfig,
         use_lat = use_latency_decode(batch=b)
         use_f = use_fused_decode()
         use_fs = use_fused_sampling()
+    if cfg.n_head % 2 != 0:
+        # the v6/v7 chunked kernels are head-PAIR packed; odd-head
+        # configs decode through the per-step path (v3 handles odd heads)
+        use_pers = use_lat = False
     if mesh is None and use_lat:
         res = generate_tokens_latency(params, cfg, rng, init_tokens,
                                       **kwargs)
