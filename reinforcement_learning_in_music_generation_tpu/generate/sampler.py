@@ -162,20 +162,36 @@ def _persistent_seed_fn(cfg, dtype_str, state_dtype_str):
     @jax.jit
     def seed(params, init_tokens, state):
         pe = cm.sinusoidal_table(cfg.max_len, cfg.d_model, dtype)
-        b = init_tokens.shape[0]
-
-        def body(carry, tok):
-            h, st = carry
-            h, st = lt.decode_step(params, cfg, tok, st, pe_table=pe)
-            return (h, st), None
-
-        h0 = jnp.zeros((b, cfg.d_model), dtype)
-        (h, st), _ = jax.lax.scan(body, (h0, state),
-                                  init_tokens.transpose(1, 0, 2))
+        st = _seed_state(params, cfg, init_tokens, state, pe, dtype)
         s6, z6 = dk6.pack_state_v6(st.s.astype(jnp.float32).astype(sdt),
                                    st.z.astype(jnp.float32).astype(sdt))
         return st, s6, z6
     return seed
+
+
+def _seed_state(params, cfg, init_tokens, state, pe, dtype):
+    """Teacher-force `init_tokens` into the XLA recurrent state: the
+    parallel prefill (lt.forward_prefill) for long prompts, the
+    per-token scan below RLMG_PREFILL_MIN (both envs read at trace
+    time).  v6/v7 are stochastic throughput paths, so prefill's
+    accumulation-order numerics are in-contract here."""
+    t0 = init_tokens.shape[1]
+    if (t0 >= int(os.environ.get("RLMG_PREFILL_MIN", "16"))
+            and os.environ.get("RLMG_PREFILL") != "0"):
+        _, st = lt.forward_prefill(params, cfg, init_tokens, pe_table=pe)
+        return lt.DecodeState(st.s.astype(state.s.dtype),
+                              st.z.astype(state.z.dtype), st.step)
+
+    def body(carry, tok):
+        h, st = carry
+        h, st = lt.decode_step(params, cfg, tok, st, pe_table=pe)
+        return (h, st), None
+
+    b = init_tokens.shape[0]
+    h0 = jnp.zeros((b, cfg.d_model), dtype)
+    (_, st), _ = jax.lax.scan(body, (h0, state),
+                              init_tokens.transpose(1, 0, 2))
+    return st
 
 
 @functools.lru_cache(maxsize=32)
@@ -217,16 +233,7 @@ def _latency_seed_fn(cfg, dtype_str, state_dtype_str):
     @jax.jit
     def seed(params, init_tokens, state):
         pe = cm.sinusoidal_table(cfg.max_len, cfg.d_model, dtype)
-        b = init_tokens.shape[0]
-
-        def body(carry, tok):
-            h, st = carry
-            h, st = lt.decode_step(params, cfg, tok, st, pe_table=pe)
-            return (h, st), None
-
-        h0 = jnp.zeros((b, cfg.d_model), dtype)
-        (h, st), _ = jax.lax.scan(body, (h0, state),
-                                  init_tokens.transpose(1, 0, 2))
+        st = _seed_state(params, cfg, init_tokens, state, pe, dtype)
         s4, z4 = dk7.pack_state_pair(st.s.astype(jnp.float32).astype(sdt),
                                      st.z.astype(jnp.float32).astype(sdt))
         return st, s4, z4
@@ -524,14 +531,40 @@ def generate_tokens(params, cfg: LinearTransformerConfig, rng: jax.Array,
         state = lt.init_decode_state(cfg, b)
         step_fn = functools.partial(lt.decode_step, params, cfg, pe_table=pe)
 
-    h = jnp.zeros((b, cfg.d_model), dtype)
-    # seed: feed init tokens
-    def seed_body(carry, tok):
-        h, state = carry
-        h, state = step_fn(tok, state)
-        return (h, state), None
-    (h, state), _ = jax.lax.scan(seed_body, (h, state),
-                                 init_tokens.transpose(1, 0, 2))
+    # prompt ingestion: long non-greedy prompts run the PARALLEL prefill
+    # (one training-style forward, lt.forward_prefill) instead of T0
+    # sequential per-token steps — the serving prefill/decode split.
+    # Greedy keeps the scan: the chunked attention accumulates in a
+    # different order, so prefill streams are float-close but not
+    # bit-identical (the generate_songs greedy pin).  RLMG_PREFILL=0
+    # disables; RLMG_PREFILL_MIN (default 16, read at trace time) sets
+    # the prompt length where the parallel pass takes over.
+    prefill_ok = (not greedy and not (fused and cfg.n_head % 2 != 0)
+                  and os.environ.get("RLMG_PREFILL") != "0"
+                  and t0 >= int(os.environ.get("RLMG_PREFILL_MIN", "16")))
+    if prefill_ok:
+        hp, dstate = lt.forward_prefill(params, cfg, init_tokens,
+                                        pe_table=pe)
+        h = hp.astype(dtype)
+        if fused:   # v4 pair layout (even n_head guaranteed above)
+            from ..ops.decode_kernel_v7 import pack_state_pair
+            sdt = state.s.dtype
+            s4, z4 = pack_state_pair(dstate.s.astype(sdt),
+                                     dstate.z.astype(sdt))
+            state = dk4.PairState(s4, z4, dstate.step)
+        else:
+            state = lt.DecodeState(dstate.s.astype(state.s.dtype),
+                                   dstate.z.astype(state.z.dtype),
+                                   dstate.step)
+    else:
+        h = jnp.zeros((b, cfg.d_model), dtype)
+        # seed: feed init tokens
+        def seed_body(carry, tok):
+            h, state = carry
+            h, state = step_fn(tok, state)
+            return (h, state), None
+        (h, state), _ = jax.lax.scan(seed_body, (h, state),
+                                     init_tokens.transpose(1, 0, 2))
 
     init_bars = jnp.sum(init_tokens[..., barbeat_field] == bar_token_id,
                         axis=1).astype(jnp.int32)

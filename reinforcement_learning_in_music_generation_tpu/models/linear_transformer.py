@@ -569,3 +569,84 @@ def decode_step(params: dict, cfg: LinearTransformerConfig, token: jax.Array,
     h, (new_s, new_z) = jax.lax.scan(body, h, (params["layers"], state.s, state.z))
     h = cm.layernorm(params["final_ln"], h)
     return h, DecodeState(new_s, new_z, state.step + 1)
+
+
+def prefill_bucket(t: int, quantum: int = 64) -> int:
+    """Static padded length for forward_prefill: next multiple of
+    `quantum`.  Every distinct padded length is its own compiled program
+    (cold remote compiles have been observed at 25+ min under load —
+    BENCH.md), so prompts bucket rather than compile per exact length."""
+    return max(quantum, -(-t // quantum) * quantum)
+
+
+def forward_prefill(params: dict, cfg: LinearTransformerConfig,
+                    x: jax.Array, n_valid=None, *,
+                    pe_table: Optional[jax.Array] = None,
+                    state_dtype=jnp.float32
+                    ) -> Tuple[jax.Array, DecodeState]:
+    """Parallel prompt ingestion (the serving prefill/decode split): one
+    training-style forward pass over the prompt that also returns the
+    recurrent decode state after the last valid token — the closed form
+    of scanning decode_step over the prompt,
+
+        S_l = sum_t phi(k_t) v_t^T,   z_l = sum_t phi(k_t),
+
+    but O(T) parallel on the MXU instead of T sequential per-token steps.
+    Replaces the teacher-forced lax.scan seeding for long prompts
+    (cli generate --prompt; the reference's inference loop re-runs the
+    FULL prefix every generated token instead —
+    /root/reference/ppo_policy/inference.py:101-134).
+
+    x (B, T, n_fields) int32, where T is a static padded length
+    (prefill_bucket); `n_valid` (traced scalar, default T) marks the
+    prompt's true length — positions >= n_valid contribute nothing to
+    the state and h_last is read at n_valid-1.  Deterministic (no
+    dropout), like the decode path.  Numerics: the chunked parallel
+    attention accumulates in a different order than the per-token scan,
+    so streams are float-close but not bit-identical — greedy
+    byte-stable seeding keeps the scan (generate_songs pin).
+
+    Returns (h_last (B, D) after final_ln, DecodeState at step=n_valid).
+    """
+    from ..ops.linear_attention import (causal_linear_attention_bshe,
+                                        feature_map)
+    b, t, _ = x.shape
+    if n_valid is None:
+        n_valid = t
+    n_valid = jnp.asarray(n_valid, jnp.int32)
+    valid = (jax.lax.broadcasted_iota(jnp.int32, (1, t, 1, 1), 1)
+             < n_valid)                                    # (1, T, 1, 1)
+    embs = cm.embed_fields(params["emb"], x)
+    h = cm.linear(params["in_linear"], embs)               # (B, T, D)
+    if pe_table is None:
+        pe_table = cm.sinusoidal_table(cfg.max_len, cfg.d_model, h.dtype)
+    h = h + pe_table[:t][None].astype(h.dtype)
+
+    def body(h, lp):
+        bshe = lambda a: a.reshape(b, t, cfg.n_head, cfg.d_head)
+        q = bshe(cm.linear(lp["wq"], h))
+        k = bshe(cm.linear(lp["wk"], h))
+        v = bshe(cm.linear(lp["wv"], h))
+        # state accumulates in f32 regardless of the weight dtype
+        # (decode_step's long-sequence stability contract); pad
+        # positions are masked out of the sums
+        pk = feature_map(k.astype(state_dtype)) * valid
+        v32 = v.astype(state_dtype)
+        s_l = jnp.einsum("bthe,bthf->bhef", pk, v32)
+        z_l = jnp.sum(pk, axis=1)
+        att = causal_linear_attention_bshe(q, k, v, eps=cfg.attn_eps,
+                                           chunk=min(cfg.attn_chunk, t))
+        att = cm.linear(lp["wo"], att.reshape(b, t, cfg.d_model))
+        h = cm.layernorm(lp["ln1"], h + att)
+        y = jax.nn.gelu(cm.linear(lp["ffn1"], h), approximate=False)
+        y = cm.linear(lp["ffn2"], y)
+        h = cm.layernorm(lp["ln2"], h + y)
+        return h, (s_l, z_l)
+
+    h, (s, z) = jax.lax.scan(body, h, params["layers"],
+                             unroll=min(cfg.scan_unroll, cfg.n_layer))
+    h_last = jnp.take_along_axis(
+        h, (n_valid - 1)[None, None, None].astype(jnp.int32)
+        * jnp.ones((b, 1, 1), jnp.int32), axis=1)[:, 0]
+    h_last = cm.layernorm(params["final_ln"], h_last)
+    return h_last, DecodeState(s, z, n_valid)

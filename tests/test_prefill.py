@@ -1,0 +1,102 @@
+"""Parallel prompt prefill (models/linear_transformer.py:forward_prefill)
+vs the sequential decode_step scan, and its sampler integration.
+
+The reference re-runs the FULL prefix through the parallel model for
+every generated token (ppo_policy/inference.py:101-134); the framework's
+recurrent decode already avoids that, and prefill replaces the remaining
+sequential prompt scan with one parallel forward."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from reinforcement_learning_in_music_generation_tpu import config as C
+from reinforcement_learning_in_music_generation_tpu.generate import sampler
+from reinforcement_learning_in_music_generation_tpu.models import (
+    linear_transformer as lt)
+
+CFG = C.LinearTransformerConfig(
+    vocab_sizes=(8,) * 6, emb_sizes=(8,) * 6, d_model=32, n_layer=3,
+    n_head=4, d_inner=64, attn_chunk=8)
+
+
+def _scan_state(params, cfg, x):
+    state = lt.init_decode_state(cfg, x.shape[0])
+    h = jnp.zeros((x.shape[0], cfg.d_model))
+    for i in range(x.shape[1]):
+        h, state = lt.decode_step(params, cfg, x[:, i], state)
+    return h, state
+
+
+def test_prefill_matches_decode_scan():
+    params = lt.init_params(jax.random.PRNGKey(0), CFG)
+    x = jax.random.randint(jax.random.PRNGKey(1), (2, 21, 6), 0, 8)
+    h_ref, st_ref = _scan_state(params, CFG, x)
+
+    tb = lt.prefill_bucket(21, 16)
+    assert tb == 32
+    xp = jnp.pad(x, ((0, 0), (0, tb - 21), (0, 0)))
+    h, st = lt.forward_prefill(params, CFG, xp, 21)
+    np.testing.assert_allclose(np.asarray(h), np.asarray(h_ref),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(st.s), np.asarray(st_ref.s),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(st.z), np.asarray(st_ref.z),
+                               rtol=2e-5, atol=2e-5)
+    assert int(st.step) == 21
+
+
+def test_prefill_unpadded_default_n_valid():
+    params = lt.init_params(jax.random.PRNGKey(0), CFG)
+    x = jax.random.randint(jax.random.PRNGKey(2), (1, 16, 6), 0, 8)
+    h_ref, st_ref = _scan_state(params, CFG, x)
+    h, st = lt.forward_prefill(params, CFG, x)
+    np.testing.assert_allclose(np.asarray(h), np.asarray(h_ref),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(st.s), np.asarray(st_ref.s),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_generate_tokens_prefill_consistent(monkeypatch):
+    """Stochastic generation from a long prompt: the prefill-seeded and
+    scan-seeded runs draw the same tokens (f32 states differ only at
+    ~1e-7, far from any sampling tie at this scale)."""
+    params = lt.init_params(jax.random.PRNGKey(0), CFG)
+    prompt = jax.random.randint(jax.random.PRNGKey(3), (2, 20, 6), 0, 8)
+    settings = tuple(
+        sampler.smp.FieldSampling(1.0, None) for _ in range(6))
+
+    monkeypatch.setenv("RLMG_PREFILL", "0")
+    ref = sampler.generate_tokens(
+        params, CFG, jax.random.PRNGKey(4), prompt, max_tokens=8,
+        settings=settings)
+    monkeypatch.delenv("RLMG_PREFILL")
+    jax.clear_caches()   # the env is read at trace time
+    got = sampler.generate_tokens(
+        params, CFG, jax.random.PRNGKey(4), prompt, max_tokens=8,
+        settings=settings)
+    assert (np.asarray(got.tokens) == np.asarray(ref.tokens)).all()
+
+
+def test_seed_state_prefill_matches_scan(monkeypatch):
+    """The v6/v7 chunked-path seeding helper picks prefill above the
+    length threshold and produces the same packed state."""
+    params = lt.init_params(jax.random.PRNGKey(0), CFG)
+    x = jax.random.randint(jax.random.PRNGKey(5), (2, 18, 6), 0, 8)
+    state = lt.init_decode_state(CFG, 2)
+    pe = None
+    from reinforcement_learning_in_music_generation_tpu.models import (
+        common as cm)
+    pe = cm.sinusoidal_table(CFG.max_len, CFG.d_model, jnp.float32)
+
+    monkeypatch.setenv("RLMG_PREFILL", "0")
+    ref = sampler._seed_state(params, CFG, x, state, pe, jnp.float32)
+    monkeypatch.delenv("RLMG_PREFILL")
+    monkeypatch.setenv("RLMG_PREFILL_MIN", "8")
+    got = sampler._seed_state(params, CFG, x, state, pe, jnp.float32)
+    np.testing.assert_allclose(np.asarray(got.s), np.asarray(ref.s),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(got.z), np.asarray(ref.z),
+                               rtol=2e-5, atol=2e-5)
+    assert int(got.step) == int(ref.step)
