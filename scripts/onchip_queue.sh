@@ -53,6 +53,8 @@ run_job trace_qkv 5400 env RLMG_ATTN_BACKEND=pallas-qkv python scripts/trace_pre
 # 3. v7 weight-resident latency kernel A/B at B in {1,8,16} + 5-songs
 run_job latency_v7_rate 5400 python scripts/profile_decode_latency.py rate
 run_job latency_v7_songs 5400 python scripts/profile_decode_latency.py songs
+# 3b. prompt-ingestion A/B: parallel prefill vs sequential scan
+run_job latency_prompt 5400 python scripts/profile_decode_latency.py prompt
 # 4. full bench (decode + pretrain + RL fields) with current defaults
 run_job bench 7200 python bench.py
 

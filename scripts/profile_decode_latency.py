@@ -129,6 +129,31 @@ def songs(n_songs=5, bars=50, max_tokens=4096):
     return out
 
 
+def prompt(T0=512, gen=16):
+    """Prompt-ingestion A/B: parallel prefill (forward_prefill) vs the
+    sequential decode_step scan, at B in {1, 8}.  The env knob is read at
+    trace time, so the two legs clear the jit cache between runs (the
+    persistent compile cache still serves both)."""
+    cfg, params = make_params()
+    rows = jnp.tile(jnp.asarray(sampler.CP_SEED, jnp.int32)[None, None],
+                    (8, T0, 1))
+    out = {}
+    for b in (1, 8):
+        init = rows[:b]
+        for mode_name, env in (("prefill", None), ("scan", "0")):
+            if env is None:
+                os.environ.pop("RLMG_PREFILL", None)
+            else:
+                os.environ["RLMG_PREFILL"] = env
+            jax.clear_caches()
+            el = _time(lambda s: run_path("xla", params, cfg, init, gen, s))
+            out[f"{mode_name}_b{b}_s"] = round(el, 4)
+            print(f"prompt T0={T0} B={b} {mode_name}: {el:7.3f}s "
+                  f"(incl. {gen} sampled steps)", flush=True)
+    os.environ.pop("RLMG_PREFILL", None)
+    return out
+
+
 def chunks(B=1024, T=256):
     """Inter-chunk dispatch cost on the v6 path: chunk=128 vs 256."""
     cfg, params = make_params()
@@ -151,6 +176,8 @@ if __name__ == "__main__":
         res["rate"] = rate()
     if mode in ("songs", "all"):
         res["songs"] = songs()
+    if mode in ("prompt", "all"):
+        res["prompt"] = prompt()
     if mode in ("chunks", "all"):
         res["chunks"] = chunks()
     print(json.dumps(res))
