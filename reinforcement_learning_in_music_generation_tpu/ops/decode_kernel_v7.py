@@ -314,6 +314,24 @@ def fused_decode_v7(v7p: V7Params, tok0T: jax.Array, s4: jax.Array,
     L, P, _, e, _ = s4.shape
     d = v7p.wob.shape[-1]
     T = max_tokens
+    # fail loudly BEFORE the pallas_call when the resident set cannot fit:
+    # on the tunneled platform a VMEM overflow surfaces as a SILENT
+    # compile-helper crash (memory: axon-tpu-platform-quirks), which costs
+    # hours to attribute.  Budget mirrors compiler_params
+    # vmem_limit_bytes=110MB below.
+    di = v7p.f1w.shape[-1]
+    resident = (sum(int(a.size) * a.dtype.itemsize
+                    for a in (v7p.qkvw, v7p.wow, v7p.f1w, v7p.f2w))
+                + (int(s4.size) + int(z4.size)) * s4.dtype.itemsize
+                + 2 * nf * b * VF_PAD * 4        # onehot scratch + oh0
+                + b * d * 4)                     # h scratch
+    if not interpret and resident > 100 << 20:
+        raise ValueError(
+            f"decode_kernel_v7 resident set ~{resident >> 20} MiB exceeds "
+            f"the 100 MiB VMEM budget at B={b} — the weight-resident "
+            f"latency kernel only serves small batches (B<=16 at the "
+            f"flagship size); route larger batches to the v6 persistent "
+            f"or v4 per-step path (generate_songs auto-dispatch does)")
     pe_rows = jax.lax.dynamic_slice_in_dim(v7p.pe, t0, T, axis=0)  # (T, D)
     oh0 = jax.nn.one_hot(tok0T.reshape(nf * b), VF_PAD,
                          dtype=jnp.float32)                 # (NF*B, V)
