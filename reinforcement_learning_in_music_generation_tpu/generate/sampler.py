@@ -160,25 +160,38 @@ def _persistent_seed_fn(cfg, dtype_str, state_dtype_str):
     sdt = jnp.dtype(state_dtype_str)
 
     @jax.jit
-    def seed(params, init_tokens, state):
+    def seed(params, init_tokens, state, n_valid=None):
         pe = cm.sinusoidal_table(cfg.max_len, cfg.d_model, dtype)
-        st = _seed_state(params, cfg, init_tokens, state, pe, dtype)
+        st = _seed_state(params, cfg, init_tokens, state, pe, dtype,
+                         n_valid)
         s6, z6 = dk6.pack_state_v6(st.s.astype(jnp.float32).astype(sdt),
                                    st.z.astype(jnp.float32).astype(sdt))
         return st, s6, z6
     return seed
 
 
-def _seed_state(params, cfg, init_tokens, state, pe, dtype):
+def _prompt_prefill_active(t0: int) -> bool:
+    """Trace-time policy: prompts of t0+ tokens seed via the parallel
+    prefill (lt.forward_prefill) instead of the per-token scan.
+    RLMG_PREFILL=0 disables; RLMG_PREFILL_MIN (default 16) is the
+    takeover length."""
+    return (os.environ.get("RLMG_PREFILL") != "0"
+            and t0 >= int(os.environ.get("RLMG_PREFILL_MIN", "16")))
+
+
+def _seed_state(params, cfg, init_tokens, state, pe, dtype, n_valid=None):
     """Teacher-force `init_tokens` into the XLA recurrent state: the
     parallel prefill (lt.forward_prefill) for long prompts, the
     per-token scan below RLMG_PREFILL_MIN (both envs read at trace
     time).  v6/v7 are stochastic throughput paths, so prefill's
-    accumulation-order numerics are in-contract here."""
+    accumulation-order numerics are in-contract here.  `n_valid` (traced)
+    marks the true prompt length when the caller bucket-padded
+    init_tokens (lt.prefill_bucket) — only legal when the prefill branch
+    is active (callers gate on _prompt_prefill_active)."""
     t0 = init_tokens.shape[1]
-    if (t0 >= int(os.environ.get("RLMG_PREFILL_MIN", "16"))
-            and os.environ.get("RLMG_PREFILL") != "0"):
-        _, st = lt.forward_prefill(params, cfg, init_tokens, pe_table=pe)
+    if _prompt_prefill_active(t0):
+        _, st = lt.forward_prefill(params, cfg, init_tokens, n_valid,
+                                   pe_table=pe)
         return lt.DecodeState(st.s.astype(state.s.dtype),
                               st.z.astype(state.z.dtype), st.step)
 
@@ -231,9 +244,10 @@ def _latency_seed_fn(cfg, dtype_str, state_dtype_str):
     sdt = jnp.dtype(state_dtype_str)
 
     @jax.jit
-    def seed(params, init_tokens, state):
+    def seed(params, init_tokens, state, n_valid=None):
         pe = cm.sinusoidal_table(cfg.max_len, cfg.d_model, dtype)
-        st = _seed_state(params, cfg, init_tokens, state, pe, dtype)
+        st = _seed_state(params, cfg, init_tokens, state, pe, dtype,
+                         n_valid)
         s4, z4 = dk7.pack_state_pair(st.s.astype(jnp.float32).astype(sdt),
                                      st.z.astype(jnp.float32).astype(sdt))
         return st, s4, z4
@@ -370,7 +384,18 @@ def _generate_tokens_chunked(backend: str, params, cfg, rng, init_tokens, *,
     # init tokens EXCEPT the last, and hand the kernel the last one.
     seed_fn = (_persistent_seed_fn if backend == "v6"
                else _latency_seed_fn)(cfg, str(dtype), str(sdt))
-    state, s_p, z_p = seed_fn(params, init_tokens[:, :-1, :], state)
+    prompt = init_tokens[:, :-1, :]
+    n_valid = None
+    if _prompt_prefill_active(prompt.shape[1]):
+        # bucket-pad the prompt so serving with varied prompt lengths
+        # compiles one seed program per 64-token bucket, not per exact
+        # length (a cold compile through the tunnel costs ~45s)
+        tb = lt.prefill_bucket(prompt.shape[1])
+        if tb != prompt.shape[1]:
+            n_valid = jnp.asarray(prompt.shape[1], jnp.int32)
+            prompt = jnp.pad(prompt, ((0, 0), (0, tb - prompt.shape[1]),
+                                      (0, 0)))
+    state, s_p, z_p = seed_fn(params, prompt, state, n_valid)
     tokT = init_tokens[:, -1, :].astype(jnp.int32).T      # (nf, B)
 
     temps = tuple(s.temperature for s in settings)

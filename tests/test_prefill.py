@@ -100,3 +100,24 @@ def test_seed_state_prefill_matches_scan(monkeypatch):
     np.testing.assert_allclose(np.asarray(got.z), np.asarray(ref.z),
                                rtol=2e-5, atol=2e-5)
     assert int(got.step) == int(ref.step)
+
+
+def test_seed_fn_bucket_padding_matches_exact(monkeypatch):
+    """The chunked-path seed fn accepts a bucket-padded prompt plus
+    n_valid and must produce the same packed state as the exact-length
+    call (serving compiles one seed program per 64-token bucket)."""
+    monkeypatch.setenv("RLMG_PREFILL_MIN", "8")
+    params = lt.init_params(jax.random.PRNGKey(0), CFG)
+    x = jax.random.randint(jax.random.PRNGKey(6), (2, 18, 6), 0, 8)
+    state = lt.init_decode_state(CFG, 2)
+    fn = sampler._persistent_seed_fn(CFG, "float32", "float32")
+    st_a, s6a, z6a = fn(params, x, state, None)
+
+    tb = lt.prefill_bucket(18)
+    xp = jnp.pad(x, ((0, 0), (0, tb - 18), (0, 0)))
+    st_b, s6b, z6b = fn(params, xp, state, jnp.asarray(18, jnp.int32))
+    np.testing.assert_allclose(np.asarray(s6b), np.asarray(s6a),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(z6b), np.asarray(z6a),
+                               rtol=2e-5, atol=2e-5)
+    assert int(st_b.step) == int(st_a.step) == 18
