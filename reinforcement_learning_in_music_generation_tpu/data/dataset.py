@@ -113,14 +113,17 @@ def split_data(data_file: str, *, seed: Optional[int] = 0,
     n_data = len(data)
     n_test = n_data // 10 if test_frac == 0.1 else int(n_data * test_frac)
     n_train = n_data - n_test
-    data = np.asarray(data, dtype=object)
     index = np.arange(n_data)
     np.random.default_rng(seed).shuffle(index)
-    data = data[index]
+    # index the python list directly: np.asarray(data, dtype=object) on a
+    # uniformly-shaped corpus builds a multi-dim object ndarray, so the
+    # pickles would hold numpy sub-arrays instead of the reference's
+    # lists-of-lists
+    data = [data[i] for i in index]
     with open(os.path.join(dirname, "worded_data_train.pickle"), "wb") as f:
-        pickle.dump(list(data[:n_train]), f, protocol=pickle.HIGHEST_PROTOCOL)
+        pickle.dump(data[:n_train], f, protocol=pickle.HIGHEST_PROTOCOL)
     with open(os.path.join(dirname, "worded_data_test.pickle"), "wb") as f:
-        pickle.dump(list(data[n_train:]), f, protocol=pickle.HIGHEST_PROTOCOL)
+        pickle.dump(data[n_train:], f, protocol=pickle.HIGHEST_PROTOCOL)
     return n_train, n_test
 
 

@@ -19,6 +19,7 @@ Stop conditions:
 
 from __future__ import annotations
 
+import collections
 import functools
 import os
 from typing import NamedTuple, Optional, Sequence, Tuple
@@ -266,8 +267,6 @@ def _latency_chunk_fn(cfg, n, greedy, temps, topps):
             topps=topps, greedy=greedy, eps=cfg.attn_eps)
     return chunk
 
-
-import collections
 
 _PACKED_CACHE: "collections.OrderedDict" = collections.OrderedDict()
 _PACKED_CACHE_SIZE = 8

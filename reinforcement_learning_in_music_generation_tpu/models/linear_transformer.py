@@ -213,7 +213,8 @@ def _qkv_attention_call(cfg, lp, h, dp_mesh):
     device (the same silent failure VERDICT r3 #5 found for the fused
     tail).  Returns None when the kernel cannot serve the configuration
     (odd n_head, 2D h, tp-sharded projections, batch not divisible by
-    dp) — callers fall back to the XLA composition."""
+    dp, seq len not divisible by attn_chunk) — callers fall back to the
+    XLA composition."""
     import warnings
     if h.ndim != 3 or cfg.n_head % 2 != 0:
         return None
@@ -231,10 +232,14 @@ def _qkv_attention_call(cfg, lp, h, dp_mesh):
         return None
     if dp > 1 and b % dp != 0:
         return None
+    chunk = min(cfg.attn_chunk, s)
+    if s % chunk != 0:
+        # the kernel's grid tiles S into whole chunks; the XLA
+        # composition pads internally (_pad_chunk) and handles any length
+        return None
     wqkv = jnp.concatenate([lp["wq"]["w"], lp["wk"]["w"], lp["wv"]["w"]],
                            axis=-1)
     bqkv = jnp.concatenate([lp["wq"]["b"], lp["wk"]["b"], lp["wv"]["b"]])
-    chunk = min(cfg.attn_chunk, s)
     interpret = os.environ.get("RLMG_ATTN_INTERPRET") == "1"
     h2 = h.reshape(b * s, d)
     if dp > 1:
@@ -328,7 +333,8 @@ def _layer_forward(cfg: LinearTransformerConfig, h: jax.Array, lp: dict,
             backend=ca_backend, chunk=cfg.attn_chunk))
     att = cm.linear(lp["wo"], att)
     h = cm.layernorm(lp["ln1"], h + cm.dropout(r1, att, cfg.dropout, deterministic))
-    if h.ndim == 3 and _ffn_backend(h.shape[0] * h.shape[1]) == "pallas":
+    if (h.ndim == 3
+            and _ffn_backend(h.shape[0] * h.shape[1], dp_mesh) == "pallas"):
         from ..ops.ffn_block import ffn_block
         b, s, d = h.shape
         p = 0.0 if (deterministic or r2 is None) else cfg.dropout

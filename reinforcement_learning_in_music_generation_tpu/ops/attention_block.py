@@ -60,12 +60,10 @@ try:  # pallas TPU backend is unavailable on CPU-only hosts
 except Exception:  # pragma: no cover
     pltpu = None
 
-DEFAULT_EPS = 1e-6
-
-
-def _phi(x):
-    """elu(x) + 1 (fast_transformers' feature map), f32."""
-    return jnp.where(x > 0, x + 1.0, jnp.exp(jnp.minimum(x, 0.0)))
+# shared Mosaic-safe feature map + eps (one definition per semantic:
+# decode_kernel_v3 hosts the in-kernel helpers, linear_attention the eps)
+from .decode_kernel_v3 import _phi
+from .linear_attention import DEFAULT_EPS
 
 
 def _phi_prime_from_phi(p):

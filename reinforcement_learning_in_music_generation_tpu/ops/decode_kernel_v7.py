@@ -319,7 +319,6 @@ def fused_decode_v7(v7p: V7Params, tok0T: jax.Array, s4: jax.Array,
     # compile-helper crash (memory: axon-tpu-platform-quirks), which costs
     # hours to attribute.  Budget mirrors compiler_params
     # vmem_limit_bytes=110MB below.
-    di = v7p.f1w.shape[-1]
     resident = (sum(int(a.size) * a.dtype.itemsize
                     for a in (v7p.qkvw, v7p.wow, v7p.f1w, v7p.f2w))
                 + (int(s4.size) + int(z4.size)) * s4.dtype.itemsize

@@ -122,10 +122,12 @@ def pretrain(params, cfg, train_x, train_y, train_mask,
     if mesh is not None:
         from ..parallel import shard_batch, shard_params
         params = shard_params(mesh, params)
-    if (mesh is not None and mesh.shape.get("tp", 1) == 1
-            and step_fn is agent_train_step):
-        # dp-only mesh: keep the fused Pallas tail (sharded per batch
-        # shard); tp>1 must stay on the all-XLA layer (partial-sum LN)
+    if mesh is not None and step_fn is agent_train_step:
+        # thread the mesh regardless of tp: the backend guards need the
+        # TRUE tp to enforce their fused-kernel fallbacks (tp>1 always
+        # drops to the all-XLA layer — partial-sum LN — even against an
+        # env override).  dp-only meshes keep the fused Pallas tail,
+        # sharded per batch shard.
         step_fn = functools.partial(step_fn, dp_mesh=mesh)
 
     n = len(train_x)

@@ -21,8 +21,14 @@ cd "$REPO"
 echo "[queue] probing backend (budget ${HOURS}h) $(date -u +%H:%M:%S)"
 up=0
 for i in $(seq 1 "$ATTEMPTS"); do
-  if timeout 240 python -c "import jax; d=jax.devices(); print('TPU-UP', d)" \
-      2>/dev/null | grep -q TPU-UP; then
+  if timeout 240 python -c "
+import jax
+d = jax.devices()
+if jax.default_backend() in ('tpu', 'axon'):
+    print('TPU-UP', d)
+else:
+    print('CPU-FALLBACK', d)
+" 2>/dev/null | grep -q TPU-UP; then
     echo "[queue] backend up at attempt $i $(date -u +%H:%M:%S)"
     up=1
     break

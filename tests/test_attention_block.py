@@ -247,3 +247,24 @@ def test_pallas_qkv_tp_guard(monkeypatch):
     assert any("pallas-qkv" in str(w.message) for w in rec)
     np.testing.assert_allclose(tp_loss, float(ref_loss),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_pallas_qkv_indivisible_seq_falls_back(monkeypatch):
+    """seq len not divisible by attn_chunk cannot tile the kernel grid —
+    the dispatcher must fall back to XLA (which pads internally), not
+    crash mid-trace."""
+    from reinforcement_learning_in_music_generation_tpu import config as C
+    from reinforcement_learning_in_music_generation_tpu.models import (
+        linear_transformer as lt)
+
+    cfg = C.LinearTransformerConfig(
+        vocab_sizes=(8,) * 6, emb_sizes=(8,) * 6, d_model=32, n_layer=1,
+        n_head=2, d_inner=64, attn_chunk=8, dropout=0.0)
+    params = lt.init_params(jax.random.PRNGKey(0), cfg)
+    x = jax.random.randint(jax.random.PRNGKey(1), (2, 12, 6), 0, 8)  # 12 % 8 != 0
+    ref = lt.forward_hidden(params, cfg, x, deterministic=True)
+    monkeypatch.setenv("RLMG_ATTN_BACKEND", "pallas-qkv")
+    monkeypatch.setenv("RLMG_ATTN_INTERPRET", "1")
+    got = lt.forward_hidden(params, cfg, x, deterministic=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-6, atol=1e-6)
