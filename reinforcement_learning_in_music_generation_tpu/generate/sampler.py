@@ -516,12 +516,20 @@ def generate_tokens(params, cfg: LinearTransformerConfig, rng: jax.Array,
                     settings: Tuple[smp.FieldSampling, ...] = tuple(smp.CP_SAMPLING),
                     fused: bool = False,
                     fused_sampling: bool = False,
+                    n_valid: Optional[jax.Array] = None,
                     ) -> GenResult:
     """init_tokens (B, T0, n_fields) seeds the state (teacher-forced), then
     `max_tokens` sampled steps.  Returns seed+generated tokens.
 
     fused=True decodes through the v3 whole-step Pallas kernel
-    (ops/decode_kernel_v3) — +37-45% tokens/sec on v5e, TPU-only."""
+    (ops/decode_kernel_v3) — +37-45% tokens/sec on v5e, TPU-only.
+
+    `n_valid` (traced scalar): true prompt length when the caller
+    bucket-padded init_tokens (lt.prefill_bucket) so varied prompt
+    lengths share one compiled program per bucket.  Only legal when the
+    prefill seed branch is active (non-greedy, length >= the prefill
+    threshold) — the teacher-forced scan would feed the pad rows.  Pad
+    rows come back with valid=False."""
     b, t0, nf = init_tokens.shape
     # the fused per-step kernels carry batch on sublanes: Mosaic rejects
     # vector loads whose leading dim is not 1 or a multiple of the 8-row
@@ -567,7 +575,7 @@ def generate_tokens(params, cfg: LinearTransformerConfig, rng: jax.Array,
                   and os.environ.get("RLMG_PREFILL") != "0"
                   and t0 >= int(os.environ.get("RLMG_PREFILL_MIN", "16")))
     if prefill_ok:
-        hp, dstate = lt.forward_prefill(params, cfg, init_tokens,
+        hp, dstate = lt.forward_prefill(params, cfg, init_tokens, n_valid,
                                         pe_table=pe)
         h = hp.astype(dtype)
         if fused:   # v4 pair layout (even n_head guaranteed above)
@@ -582,7 +590,8 @@ def generate_tokens(params, cfg: LinearTransformerConfig, rng: jax.Array,
                                    dstate.step)
     else:
         h = jnp.zeros((b, cfg.d_model), dtype)
-        # seed: feed init tokens
+        # seed: feed init tokens (n_valid padding is prefill-only — the
+        # scan would teacher-force the pad rows)
         def seed_body(carry, tok):
             h, state = carry
             h, state = step_fn(tok, state)
@@ -590,8 +599,11 @@ def generate_tokens(params, cfg: LinearTransformerConfig, rng: jax.Array,
         (h, state), _ = jax.lax.scan(seed_body, (h, state),
                                      init_tokens.transpose(1, 0, 2))
 
-    init_bars = jnp.sum(init_tokens[..., barbeat_field] == bar_token_id,
-                        axis=1).astype(jnp.int32)
+    seed_valid = (jnp.ones((b, t0), bool) if n_valid is None
+                  else jnp.broadcast_to(jnp.arange(t0)[None, :] < n_valid,
+                                        (b, t0)))
+    init_bars = jnp.sum((init_tokens[..., barbeat_field] == bar_token_id)
+                        & seed_valid, axis=1).astype(jnp.int32)
 
     if fused_sampling:
         # one (D, sum V_f) head matmul + the fused sort-free sampler
@@ -654,7 +666,7 @@ def generate_tokens(params, cfg: LinearTransformerConfig, rng: jax.Array,
         idx = jnp.arange(max_tokens)[None, :]
         valid = valid & (idx < token_count)
     tokens = jnp.concatenate([init_tokens.astype(jnp.int32), toks], axis=1)
-    valid = jnp.concatenate([jnp.ones((b, t0), bool), valid], axis=1)
+    valid = jnp.concatenate([seed_valid, valid], axis=1)
     return GenResult(tokens=tokens[:b_real], valid=valid[:b_real],
                      n_bars=bars[:b_real])
 
@@ -722,9 +734,22 @@ def generate_songs(params, cfg: LinearTransformerConfig,
         res = generate_tokens_persistent(params, cfg, rng, init_tokens,
                                          **kwargs)
     else:
+        n_valid = None
+        t0p = init_tokens.shape[1]
+        if (not gen_cfg.greedy and not (use_f and cfg.n_head % 2 != 0)
+                and _prompt_prefill_active(t0p)):
+            # bucket-pad the prompt so serving with varied prompt lengths
+            # compiles one program per 64-token bucket (a cold compile
+            # through the tunnel costs ~45s); prefill masks the pad rows
+            # out of the state and they return valid=False
+            tb = lt.prefill_bucket(t0p)
+            if tb != t0p:
+                n_valid = jnp.asarray(t0p, jnp.int32)
+                init_tokens = jnp.pad(init_tokens,
+                                      ((0, 0), (0, tb - t0p), (0, 0)))
         res = generate_tokens(
             params, cfg, rng, init_tokens, **kwargs,
-            fused=use_f, fused_sampling=use_fs)
+            fused=use_f, fused_sampling=use_fs, n_valid=n_valid)
     tokens = np.asarray(res.tokens)
     valid = np.asarray(res.valid)
     return [tokens[i][valid[i]] for i in range(b)]

@@ -121,3 +121,26 @@ def test_seed_fn_bucket_padding_matches_exact(monkeypatch):
     np.testing.assert_allclose(np.asarray(z6b), np.asarray(z6a),
                                rtol=2e-5, atol=2e-5)
     assert int(st_b.step) == int(st_a.step) == 18
+
+
+def test_generate_songs_bucketed_prompt_matches_unbucketed(monkeypatch):
+    """generate_songs pads long prompts to a 64-token bucket before the
+    per-step path; songs must match the unpadded (prefill-off) run and
+    contain the full real prompt with no pad rows."""
+    params = lt.init_params(jax.random.PRNGKey(0), CFG)
+    prompt = np.asarray(
+        jax.random.randint(jax.random.PRNGKey(7), (20, 6), 0, 8))
+    gcfg = C.GenerateConfig(n_songs=2, bar_production=None, token_count=12,
+                            max_tokens=12, greedy=False, batch_size=2,
+                            seed=11)
+
+    monkeypatch.setenv("RLMG_PREFILL", "0")
+    ref = sampler.generate_songs(params, CFG, gcfg, init=prompt)
+    monkeypatch.delenv("RLMG_PREFILL")
+    jax.clear_caches()
+    got = sampler.generate_songs(params, CFG, gcfg, init=prompt)
+    assert len(got) == len(ref) == 2
+    for g, r in zip(got, ref):
+        assert g.shape == r.shape
+        assert (g == r).all()
+        assert (g[:20] == prompt).all()
