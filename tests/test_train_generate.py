@@ -264,3 +264,35 @@ def test_decode_path_auto_dispatch(monkeypatch):
     assert sampler.use_persistent_decode(batch=1) is True
     monkeypatch.setenv("RLMG_PERSISTENT_DECODE", "0")
     assert sampler.use_persistent_decode(batch=1024) is False
+
+
+@pytest.mark.slow
+def test_pretrain_loop_with_tp_mesh(tmp_path):
+    """The pretrain LOOP threads the mesh into the step at any tp (the
+    fused-backend guards need the true tp); a dp=2 x tp=2 mesh run must
+    match the single-device loss trajectory."""
+    import reinforcement_learning_in_music_generation_tpu.train.pretrain as pt
+    from reinforcement_learning_in_music_generation_tpu import config as C
+    from reinforcement_learning_in_music_generation_tpu.data import dataset
+    from reinforcement_learning_in_music_generation_tpu.parallel import (
+        make_mesh)
+
+    cfg = C.LinearTransformerConfig(
+        vocab_sizes=(8,) * 6, emb_sizes=(8,) * 6, d_model=32, n_layer=2,
+        n_head=2, d_inner=64, dropout=0.0)
+    x, y, mask = dataset.synthetic_cp_dataset(4, 32, n_class=cfg.vocab_sizes)
+    params = lt.init_params(jax.random.PRNGKey(0), cfg)
+    pcfg = C.PretrainConfig(n_epoch=2, batch_size=4, lr=1e-3,
+                            ckpt_dir=str(tmp_path / "c1"),
+                            exp_dir=str(tmp_path / "e1"))
+    _, _, hist_ref = pt.pretrain(params, cfg, x, y, mask, pcfg)
+
+    mesh = make_mesh(dp=2, tp=2)
+    pcfg2 = C.PretrainConfig(n_epoch=2, batch_size=4, lr=1e-3,
+                             ckpt_dir=str(tmp_path / "c2"),
+                             exp_dir=str(tmp_path / "e2"))
+    _, _, hist_mesh = pt.pretrain(params, cfg, x, y, mask, pcfg2, mesh=mesh)
+    np.testing.assert_allclose(
+        [h["loss"] if isinstance(h, dict) else h for h in hist_mesh],
+        [h["loss"] if isinstance(h, dict) else h for h in hist_ref],
+        rtol=1e-4, atol=1e-5)
