@@ -144,3 +144,28 @@ def test_generate_songs_bucketed_prompt_matches_unbucketed(monkeypatch):
         assert g.shape == r.shape
         assert (g == r).all()
         assert (g[:20] == prompt).all()
+
+
+def test_generate_tokens_fused_prefill_interpret(monkeypatch):
+    """Prefill + the fused v4 per-step path (the production small-batch
+    serving combination on TPU): interpret-mode tokens match the
+    scan-seeded run (f32 weights + f32 state, like the v4 parity test)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    monkeypatch.setenv("RLMG_DECODE_STATE_DTYPE", "float32")
+    params = lt.init_params(jax.random.PRNGKey(0), CFG)
+    prompt = jax.random.randint(jax.random.PRNGKey(8), (2, 20, 6), 0, 8)
+    settings = tuple(
+        sampler.smp.FieldSampling(1.0, None) for _ in range(6))
+
+    with pltpu.force_tpu_interpret_mode():
+        monkeypatch.setenv("RLMG_PREFILL", "0")
+        ref = sampler.generate_tokens(
+            params, CFG, jax.random.PRNGKey(9), prompt, max_tokens=6,
+            settings=settings, fused=True)
+        monkeypatch.delenv("RLMG_PREFILL")
+        jax.clear_caches()
+        got = sampler.generate_tokens(
+            params, CFG, jax.random.PRNGKey(9), prompt, max_tokens=6,
+            settings=settings, fused=True)
+    assert (np.asarray(got.tokens) == np.asarray(ref.tokens)).all()
