@@ -136,7 +136,16 @@ def cmd_pretrain(args):
     params = lt.init_params(jax.random.PRNGKey(args.seed), mcfg)
     print(f"n_parameters: {lt.n_params(params):,}")
     mesh = None
-    if args.dp > 1 or args.tp > 1:
+    if getattr(args, "pp", 1) > 1:
+        if args.tp > 1:
+            raise SystemExit("--pp cannot combine with --tp yet "
+                             "(pipeline stages hold whole layers; Megatron "
+                             "tp shards within them — composition is "
+                             "future work)")
+        from reinforcement_learning_in_music_generation_tpu.parallel import (
+            make_pp_mesh)
+        mesh = make_pp_mesh(pp=args.pp, dp=args.dp)
+    elif args.dp > 1 or args.tp > 1:
         from reinforcement_learning_in_music_generation_tpu.parallel import make_mesh
         mesh = make_mesh(dp=args.dp, tp=args.tp)
     pcfg = C.PretrainConfig(n_epoch=args.epochs, batch_size=args.batch_size,
@@ -643,6 +652,10 @@ def build_parser() -> argparse.ArgumentParser:
     d.add_argument("--dtype", default="float32")
     d.add_argument("--dp", type=int, default=1)
     d.add_argument("--tp", type=int, default=1)
+    d.add_argument("--pp", type=int, default=1,
+                   help="pipeline-parallel stages (layer slabs over a "
+                        "'pp' mesh axis, microbatched ppermute pipeline; "
+                        "n_layer must divide by pp, batch by dp*2*pp)")
     d.set_defaults(fn=cmd_pretrain)
 
     d = sub.add_parser("discrim-pretrain", help="longformer LM pretrain")

@@ -57,6 +57,19 @@ def agent_train_step(params, opt_state, cfg: LinearTransformerConfig, tx,
     return params, opt_state, (loss, losses)
 
 
+@functools.partial(jax.jit,
+                   static_argnames=("cfg", "tx", "mesh", "n_microbatch"))
+def agent_pp_train_step(params, opt_state, cfg: LinearTransformerConfig, tx,
+                        x, y, mask, rng, mesh=None, n_microbatch=None):
+    """agent_train_step through the pipeline-parallel forward
+    (parallel/pipeline.py): layer slabs staged over the mesh's 'pp' axis,
+    batch rows over 'dp'.  Same loss semantics; jax.grad runs the reverse
+    pipeline."""
+    from ..parallel.pipeline import pipeline_train_step
+    return pipeline_train_step(params, opt_state, cfg, tx, x, y, mask, rng,
+                               mesh, n_microbatch)
+
+
 @functools.partial(jax.jit, static_argnames=("cfg", "tx"))
 def longformer_lm_step(params, opt_state, cfg: WindowTransformerConfig, tx,
                        x, y, mask, rng):
@@ -119,10 +132,19 @@ def pretrain(params, cfg, train_x, train_y, train_mask,
     saver.add_summary_msg(
         f" > params amount: {lt.n_params(params):,d}")
 
-    if mesh is not None:
+    if mesh is not None and "pp" in mesh.shape:
+        # ('dp','pp') pipeline mesh: layer slabs over pp (ppermute
+        # microbatch pipeline), rows over dp.  Megatron tp specs do not
+        # apply here — pp and tp composition is future work.
+        from ..parallel.pipeline import shard_params_pp
+        params = shard_params_pp(mesh, params)
+        if step_fn is agent_train_step:
+            step_fn = functools.partial(agent_pp_train_step, mesh=mesh)
+    elif mesh is not None:
         from ..parallel import shard_batch, shard_params
         params = shard_params(mesh, params)
-    if mesh is not None and step_fn is agent_train_step:
+    if (mesh is not None and "pp" not in mesh.shape
+            and step_fn is agent_train_step):
         # thread the mesh regardless of tp: the backend guards need the
         # TRUE tp to enforce their fused-kernel fallbacks (tp>1 always
         # drops to the all-XLA layer — partial-sum LN — even against an
