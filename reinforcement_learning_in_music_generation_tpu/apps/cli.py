@@ -137,14 +137,12 @@ def cmd_pretrain(args):
     print(f"n_parameters: {lt.n_params(params):,}")
     mesh = None
     if getattr(args, "pp", 1) > 1:
-        if args.tp > 1:
-            raise SystemExit("--pp cannot combine with --tp yet "
-                             "(pipeline stages hold whole layers; Megatron "
-                             "tp shards within them — composition is "
-                             "future work)")
+        # 3D parallelism: dp x pp x tp — pipeline stages hold whole-layer
+        # slabs, Megatron tp shards within each stage with manual
+        # psum('tp') collectives (parallel/pipeline.py:_layer_forward_tp)
         from reinforcement_learning_in_music_generation_tpu.parallel import (
             make_pp_mesh)
-        mesh = make_pp_mesh(pp=args.pp, dp=args.dp)
+        mesh = make_pp_mesh(pp=args.pp, dp=args.dp, tp=args.tp)
     elif args.dp > 1 or args.tp > 1:
         from reinforcement_learning_in_music_generation_tpu.parallel import make_mesh
         mesh = make_mesh(dp=args.dp, tp=args.tp)
@@ -655,7 +653,8 @@ def build_parser() -> argparse.ArgumentParser:
     d.add_argument("--pp", type=int, default=1,
                    help="pipeline-parallel stages (layer slabs over a "
                         "'pp' mesh axis, microbatched ppermute pipeline; "
-                        "n_layer must divide by pp, batch by dp*2*pp)")
+                        "n_layer must divide by pp, batch by dp*2*pp; "
+                        "composes with --dp and --tp into a 3D mesh)")
     d.set_defaults(fn=cmd_pretrain)
 
     d = sub.add_parser("discrim-pretrain", help="longformer LM pretrain")

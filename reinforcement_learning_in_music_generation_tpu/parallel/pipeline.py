@@ -30,6 +30,13 @@ efficiency.  Activation memory is GPipe-without-recompute by default;
 `cfg.remat` wraps each stage in `jax.checkpoint` exactly like the
 single-device layer scan.
 
+With a third 'tp' mesh axis the pipeline composes with Megatron tensor
+parallelism INSIDE each stage (_layer_forward_tp): column shards own
+whole heads / hidden slices, row-parallel matmuls all-reduce with one
+manual psum('tp') each (the shard_map body is fully manual, so the
+collectives are explicit rather than GSPMD-inserted).  3D dp x pp x tp
+meshes come out of `make_pp_mesh(pp, dp, tp)`.
+
 The reference has nothing comparable: its 12-layer model must fit one
 GPU (dqn_policy/agent_pretrain.py trains single-device only).
 """
@@ -48,26 +55,45 @@ from ..models import common as cm
 from ..models import linear_transformer as lt
 
 
-def make_pp_mesh(pp: int, dp: int = 1,
+def make_pp_mesh(pp: int, dp: int = 1, tp: int = 1,
                  devices: Optional[Sequence] = None) -> Mesh:
-    """('dp', 'pp') mesh: adjacent devices form a pipeline ring (pp is the
-    minor axis so ppermute hops ride nearest-neighbor ICI links)."""
+    """('dp', 'pp'[, 'tp']) mesh.  tp is the minor axis (Megatron
+    all-reduces are the chattiest traffic, so they ride nearest-neighbor
+    ICI links); pp hops are one ppermute per microbatch tick."""
     devices = list(devices if devices is not None else jax.devices())
-    if dp * pp > len(devices):
-        raise ValueError(
-            f"mesh {dp}x{pp} needs {dp * pp} devices, have {len(devices)}")
+    if dp * pp * tp > len(devices):
+        raise ValueError(f"mesh {dp}x{pp}x{tp} needs {dp * pp * tp} "
+                         f"devices, have {len(devices)}")
+    if tp > 1:
+        arr = np.array(devices[: dp * pp * tp]).reshape(dp, pp, tp)
+        return Mesh(arr, axis_names=("dp", "pp", "tp"))
     arr = np.array(devices[: dp * pp]).reshape(dp, pp)
     return Mesh(arr, axis_names=("dp", "pp"))
 
 
 def pp_param_shardings(mesh: Mesh, params) -> dict:
-    """Layer-stack leaves shard their leading (L,) axis over 'pp';
-    embeddings / in_linear / final_ln / heads are replicated (they are
-    small next to the 12-layer trunk)."""
+    """Layer-stack leaves shard their leading (L,) axis over 'pp' and,
+    when the mesh carries a 'tp' axis, their Megatron dims over 'tp'
+    (same column/row layout as parallel/sharding.py — the stacked-layer
+    rules there already place 'tp', this substitutes 'pp' for the
+    leading layer axis).  Embeddings / in_linear / final_ln / heads are
+    replicated over pp (they run outside the pipeline) and keep their
+    Megatron tp specs."""
+    from .sharding import spec_for_path
+    tp = mesh.shape.get("tp", 1)
+
     def spec(kp, leaf):
         path = jax.tree_util.keystr(kp)
         if "['layers']" in path:
-            return NamedSharding(mesh, P(*(("pp",) + (None,) * (leaf.ndim - 1))))
+            inner = (None,) * (leaf.ndim - 1)
+            if tp > 1:
+                rule = spec_for_path(path, leaf.ndim)
+                if len(rule) == leaf.ndim and rule[0] is None:
+                    inner = tuple(rule)[1:]
+            return NamedSharding(mesh, P(*(("pp",) + inner)))
+        if tp > 1:
+            rule = spec_for_path(path, leaf.ndim)
+            return NamedSharding(mesh, rule)
         return NamedSharding(mesh, P())
     return jax.tree_util.tree_map_with_path(spec, params)
 
@@ -81,6 +107,45 @@ def shard_params_pp(mesh: Mesh, params) -> dict:
 def _microbatch(h: jax.Array, m: int) -> jax.Array:
     b = h.shape[0]
     return h.reshape((m, b // m) + h.shape[1:])
+
+
+def _layer_forward_tp(cfg: LinearTransformerConfig, h: jax.Array, lp: dict,
+                      rng, deterministic: bool, tp: int) -> jax.Array:
+    """One transformer layer with MANUAL Megatron tensor parallelism,
+    for use inside the (fully-manual) pipeline shard_map: wq/wk/wv and
+    ffn1 are column-sharded (each tp shard owns n_head/tp heads and
+    d_inner/tp hidden units — no collective), wo and ffn2 are
+    row-sharded and their partial sums all-reduce with one psum('tp')
+    each; biases of the row-parallel matmuls are added once, after the
+    psum.  Same math as models/linear_transformer.py:_layer_forward's
+    XLA composition (dqn_policy/model.py:128-137 layer semantics);
+    activations stay tp-replicated so LN is exact, not partial-sum
+    (the failure mode the fused-kernel tp guard protects against).
+
+    Dropout masks use the same key on every tp shard, so the
+    tp-replicated activations stay bit-identical across shards; the
+    column-sharded ffn hidden mask repeats the per-shard pattern
+    (distribution-equal, not bit-equal, to the single-device draw —
+    same caveat as the dp microbatch decorrelation)."""
+    from ..models.linear_transformer import _merge_heads, _split_heads
+    from ..ops.linear_attention import causal_linear_attention
+    r1 = r2 = r3 = None
+    if not deterministic and rng is not None:
+        r1, r2, r3 = jax.random.split(rng, 3)
+    h_loc = cfg.n_head // tp
+    q = _split_heads(cm.linear(lp["wq"], h), h_loc)
+    k = _split_heads(cm.linear(lp["wk"], h), h_loc)
+    v = _split_heads(cm.linear(lp["wv"], h), h_loc)
+    att = _merge_heads(causal_linear_attention(
+        q, k, v, eps=cfg.attn_eps, backend="xla", chunk=cfg.attn_chunk))
+    att = jax.lax.psum(att @ lp["wo"]["w"], "tp") + lp["wo"]["b"]
+    h = cm.layernorm(lp["ln1"],
+                     h + cm.dropout(r1, att, cfg.dropout, deterministic))
+    y = jax.nn.gelu(cm.linear(lp["ffn1"], h), approximate=False)
+    y = cm.dropout(r2, y, cfg.dropout, deterministic)
+    y = jax.lax.psum(y @ lp["ffn2"]["w"], "tp") + lp["ffn2"]["b"]
+    y = cm.dropout(r3, y, cfg.dropout, deterministic)
+    return cm.layernorm(lp["ln2"], h + y)
 
 
 def pipeline_forward_hidden(params: dict, cfg: LinearTransformerConfig,
@@ -98,8 +163,13 @@ def pipeline_forward_hidden(params: dict, cfg: LinearTransformerConfig,
     """
     pp = mesh.shape["pp"]
     dp = mesh.shape.get("dp", 1)
+    tp = mesh.shape.get("tp", 1)
     if cfg.n_layer % pp != 0:
         raise ValueError(f"n_layer={cfg.n_layer} not divisible by pp={pp}")
+    if cfg.n_head % tp != 0 or cfg.d_inner % tp != 0:
+        raise ValueError(
+            f"tp={tp} must divide n_head={cfg.n_head} and "
+            f"d_inner={cfg.d_inner} (Megatron column shards)")
     m = n_microbatch or min(2 * pp, x.shape[0] // dp)
     b, s, _ = x.shape
     if b % (dp * m) != 0:
@@ -126,12 +196,19 @@ def pipeline_forward_hidden(params: dict, cfg: LinearTransformerConfig,
                 # decorrelate masks across dp shards and microbatches (the
                 # single-device path draws ONE mask over the whole batch;
                 # per-microbatch reuse of the layer key would correlate
-                # rows at the same offset of different microbatches)
+                # rows at the same offset of different microbatches).
+                # NOT folded over tp: tp shards must draw identical masks
+                # to keep the replicated activations bit-identical.
                 lr = jax.random.fold_in(
                     lr, mb_idx * 131 + jax.lax.axis_index("dp"))
-            f = lambda h_, lp_, lr_: lt._layer_forward(
-                cfg, h_, lp_, lr_ if not deterministic else None,
-                deterministic, "xla", None)
+            if tp > 1:
+                f = lambda h_, lp_, lr_: _layer_forward_tp(
+                    cfg, h_, lp_, lr_ if not deterministic else None,
+                    deterministic, tp)
+            else:
+                f = lambda h_, lp_, lr_: lt._layer_forward(
+                    cfg, h_, lp_, lr_ if not deterministic else None,
+                    deterministic, "xla", None)
             if cfg.remat:
                 f = jax.checkpoint(f)
             return f(hh, lp, lr), None
@@ -169,11 +246,33 @@ def pipeline_forward_hidden(params: dict, cfg: LinearTransformerConfig,
     # layer rngs may be typed key arrays (rank 1, shape (L,)) or raw
     # uint32 (L, 2) — the spec must match the leaf rank
     lr_spec = P(*(("pp",) + (None,) * (layer_rngs.ndim - 1)))
+    if tp > 1:
+        # fully-manual shard_map: every leaf's in_spec must state its tp
+        # placement or the Megatron dims would arrive replicated (and the
+        # manual psum would then double-count the partial sums)
+        from .sharding import spec_for_path
+
+        def leaf_spec(kp, leaf):
+            inner = (None,) * (leaf.ndim - 1)
+            rule = spec_for_path("['layers']" + jax.tree_util.keystr(kp),
+                                 leaf.ndim)
+            if len(rule) == leaf.ndim and rule[0] is None:
+                inner = tuple(rule)[1:]
+            return P(*(("pp",) + inner))
+        layers_spec = jax.tree_util.tree_map_with_path(
+            leaf_spec, params["layers"])
+    else:
+        layers_spec = P("pp")
     out = jax.shard_map(
         pipe_body, mesh=mesh,
-        in_specs=(P("pp"), lr_spec, P(None, "dp", None, None)),
+        in_specs=(layers_spec, lr_spec, P(None, "dp", None, None)),
         out_specs=P(None, "dp", None, None), check_vma=False,
     )(params["layers"], layer_rngs, h_mb)
+    # NOTE: merging (M, B/M) back to B interleaves the dp blocks, so GSPMD
+    # re-lays the activation out for the (replicated-weight) head matmuls —
+    # one boundary copy per step ("involuntary full rematerialization"
+    # warning under tp).  Accepted: it is O(B*S*D) next to the pipeline's
+    # O(L/pp) compute, and only the head/loss epilogue sees it.
     h = out.reshape(b, s, cfg.d_model)
     return cm.layernorm(params["final_ln"], h)
 

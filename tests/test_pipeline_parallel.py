@@ -161,3 +161,39 @@ def test_pretrain_loop_with_pp_mesh(tmp_path):
                              exp_dir=str(tmp_path / "e2"))
     _, _, hist_pp = pt.pretrain(params, cfg, x, y, mask, pcfg2, mesh=mesh)
     np.testing.assert_allclose(hist_pp, hist_ref, rtol=1e-4, atol=1e-5)
+
+
+def test_pipeline_3d_dp_pp_tp_parity():
+    """dp=2 x pp=2 x tp=2 over all 8 virtual devices: the manual-Megatron
+    stage layer (_layer_forward_tp, explicit psum('tp') collectives)
+    matches the single-device forward/loss/grads."""
+    cfg = _cfg()
+    params = lt.init_params(jax.random.PRNGKey(0), cfg)
+    mesh = pl.make_pp_mesh(pp=2, dp=2, tp=2)
+    sp = pl.shard_params_pp(mesh, params)
+    x, y, mask = _batch(cfg)
+
+    h_ref = lt.forward_hidden(params, cfg, x)
+    h_pp = pl.pipeline_forward_hidden(sp, cfg, x, mesh, n_microbatch=2)
+    np.testing.assert_allclose(np.asarray(h_pp), np.asarray(h_ref),
+                               atol=1e-5, rtol=1e-5)
+
+    g_ref = jax.grad(lambda p: jnp.mean(
+        lt.train_losses(p, cfg, x, y, mask, deterministic=True)))(params)
+    g_pp = jax.grad(lambda p: jnp.mean(pl.pipeline_train_losses(
+        p, cfg, x, y, mask, mesh, n_microbatch=2,
+        deterministic=True)))(sp)
+    for (kp, a), b in zip(jax.tree_util.tree_leaves_with_path(g_ref),
+                          jax.tree_util.tree_leaves(g_pp)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   atol=1e-6, rtol=1e-4,
+                                   err_msg=jax.tree_util.keystr(kp))
+
+
+def test_pipeline_tp_rejects_bad_divisibility():
+    cfg = _cfg()  # n_head=4, d_inner=128
+    params = lt.init_params(jax.random.PRNGKey(0), cfg)
+    mesh = pl.make_pp_mesh(pp=2, dp=1, tp=3)
+    x, _, _ = _batch(cfg, b=6)
+    with pytest.raises(ValueError, match="must divide n_head"):
+        pl.pipeline_forward_hidden(params, cfg, x, mesh, n_microbatch=2)
