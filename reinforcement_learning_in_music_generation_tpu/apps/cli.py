@@ -148,7 +148,8 @@ def cmd_pretrain(args):
         mesh = make_mesh(dp=args.dp, tp=args.tp)
     pcfg = C.PretrainConfig(n_epoch=args.epochs, batch_size=args.batch_size,
                             lr=args.lr, ckpt_dir=args.ckpt_dir,
-                            exp_dir=args.exp_dir, seed=args.seed)
+                            exp_dir=args.exp_dir, seed=args.seed,
+                            zero1=getattr(args, "zero1", False))
     t0 = time.time()
     params, _, history = pretrain_lib.pretrain(
         params, mcfg, x, y, mask, pcfg, mesh=mesh, max_steps=args.max_steps,
@@ -655,6 +656,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "'pp' mesh axis, microbatched ppermute pipeline; "
                         "n_layer must divide by pp, batch by dp*2*pp; "
                         "composes with --dp and --tp into a 3D mesh)")
+    d.add_argument("--zero1", action="store_true",
+                   help="ZeRO-1: shard Adam mu/nu over dp (optimizer "
+                        "memory / dp; one update all-gather per step); "
+                        "needs --dp > 1")
     d.set_defaults(fn=cmd_pretrain)
 
     d = sub.add_parser("discrim-pretrain", help="longformer LM pretrain")

@@ -171,6 +171,9 @@ class PretrainConfig:
     # ppo_policy/my_pretrain.py:63-66 uses milestones=[500], gamma=0.1
     lr_milestones: Tuple[int, ...] = ()
     lr_gamma: float = 0.1
+    zero1: bool = False             # shard Adam mu/nu over the mesh's dp
+                                    # axis (train/optim.py:zero1); needs a
+                                    # mesh with dp > 1
 
 
 @dataclasses.dataclass(frozen=True)

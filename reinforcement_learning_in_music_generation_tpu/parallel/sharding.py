@@ -65,3 +65,26 @@ def shard_params(mesh: Mesh, params: Any) -> Any:
     """Place params on the mesh according to the rules."""
     return jax.tree_util.tree_map(
         lambda x, s: jax.device_put(x, s), params, param_shardings(mesh, params))
+
+
+def zero1_specs(mesh: Mesh, params: Any) -> Any:
+    """Pytree of PartitionSpecs for ZeRO-1 optimizer-state sharding:
+    each leaf's spec is its Megatron param spec PLUS 'dp' on the largest
+    still-unsharded axis divisible by dp — so Adam's mu/nu live dp-sharded
+    (memory / dp) while the params themselves stay dp-replicated.  Leaves
+    with no dp-divisible free axis stay on the param spec (replicated
+    over dp); for the flagship model that is only the scalar/1-D crumbs —
+    the big (L, D, 3D) stacks all shard."""
+    dp = mesh.shape.get("dp", 1)
+
+    def leaf_spec(kp, leaf):
+        base = spec_for_path(jax.tree_util.keystr(kp), leaf.ndim)
+        entries = list(base) + [None] * (leaf.ndim - len(base))
+        if dp > 1:
+            free = [i for i in range(leaf.ndim)
+                    if entries[i] is None and leaf.shape[i] % dp == 0
+                    and leaf.shape[i] >= dp]
+            if free:
+                entries[max(free, key=lambda i: leaf.shape[i])] = "dp"
+        return P(*entries)
+    return jax.tree_util.tree_map_with_path(leaf_spec, params)

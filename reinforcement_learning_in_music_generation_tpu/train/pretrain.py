@@ -117,6 +117,16 @@ def pretrain(params, cfg, train_x, train_y, train_mask,
     else:
         lr = pcfg.lr
     tx = optim.adam(lr, grad_clip=pcfg.grad_clip)
+    if pcfg.zero1:
+        if mesh is None or mesh.shape.get("dp", 1) <= 1:
+            raise ValueError("PretrainConfig.zero1 needs a mesh with dp>1 "
+                             "(the optimizer state shards over 'dp')")
+        if "pp" in mesh.shape:
+            raise ValueError("zero1 on a pipeline mesh is not implemented "
+                             "(moments would need the layer-stack 'pp' "
+                             "sharding on top of 'dp'); use a ('dp','tp') "
+                             "mesh")
+        tx = optim.zero1(tx, mesh, params)
     opt_state = tx.init(params)
     start_epoch = 0
     if resume_from is not None:
