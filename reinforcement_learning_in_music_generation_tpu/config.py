@@ -174,6 +174,8 @@ class PretrainConfig:
     zero1: bool = False             # shard Adam mu/nu over the mesh's dp
                                     # axis (train/optim.py:zero1); needs a
                                     # mesh with dp > 1
+    prefetch_depth: int = 2         # host->device input look-ahead
+                                    # (train/data_pipeline.py); 1 = inline
 
 
 @dataclasses.dataclass(frozen=True)

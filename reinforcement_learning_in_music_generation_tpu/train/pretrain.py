@@ -173,15 +173,11 @@ def pretrain(params, cfg, train_x, train_y, train_mask,
         # round-trip (~tens of ms on the tunneled TPU) and serializes steps
         acc_loss = jnp.zeros(())
         acc_losses = jnp.zeros(len(cfg.vocab_sizes))
-        for bidx in range(num_batch):
+        from .data_pipeline import prefetch_batches
+        for bidx, (bx, by, bm) in prefetch_batches(
+                train_x, train_y, train_mask, pcfg.batch_size, mesh=mesh,
+                depth=pcfg.prefetch_depth):
             saver.global_step_increment()
-            lo, hi = bidx * pcfg.batch_size, (bidx + 1) * pcfg.batch_size
-            bx = jnp.asarray(train_x[lo:hi])
-            by = jnp.asarray(train_y[lo:hi])
-            bm = jnp.asarray(train_mask[lo:hi], jnp.float32)
-            if mesh is not None:
-                from ..parallel import shard_batch
-                bx, by, bm = shard_batch(mesh, (bx, by, bm))
             rng, step_rng = jax.random.split(rng)
             params, opt_state, (loss, losses) = step_fn(
                 params, opt_state, cfg, tx, bx, by, bm, step_rng)

@@ -119,3 +119,30 @@ def test_summarize_trace(tmp_path):
     # on the CPU test platform there may be no device pids; the call at
     # least parses and returns a (possibly empty on CPU) list — on TPU it
     # returns the per-kind device-time table used in BENCH.md
+
+
+def test_prefetch_batches_matches_inline_slicing():
+    """train/data_pipeline.py: same order/content as inline slicing, at
+    any depth, with and without a dp mesh."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from reinforcement_learning_in_music_generation_tpu.parallel import (
+        make_mesh)
+    from reinforcement_learning_in_music_generation_tpu.train.data_pipeline \
+        import prefetch_batches
+
+    rng = np.random.default_rng(0)
+    x = rng.integers(0, 9, (10, 8, 6)).astype(np.int32)
+    y = rng.integers(0, 9, (10, 8, 6)).astype(np.int32)
+    m = np.ones((10, 8), np.float32)
+    for depth in (1, 2, 5, 8):
+        seen = list(prefetch_batches(x, y, m, 2, depth=depth))
+        assert [i for i, _ in seen] == list(range(5))
+        for i, (bx, by, bm) in seen:
+            np.testing.assert_array_equal(np.asarray(bx), x[2 * i:2 * i + 2])
+            np.testing.assert_array_equal(np.asarray(by), y[2 * i:2 * i + 2])
+    mesh = make_mesh(dp=2, tp=1)
+    for i, (bx, by, bm) in prefetch_batches(x, y, m, 2, mesh=mesh, depth=3):
+        np.testing.assert_array_equal(np.asarray(bx), x[2 * i:2 * i + 2])
+        assert "dp" in str(bx.sharding.spec) or bx.sharding.is_fully_replicated
