@@ -546,11 +546,32 @@ def cmd_generate(args):
         from reinforcement_learning_in_music_generation_tpu.parallel import make_mesh
         mesh = make_mesh(dp=args.dp, tp=args.tp)
     stats = RuntimeStats()
-    if args.warmup:
-        sampler.generate_songs(params, mcfg, gcfg, init=init, mesh=mesh)
-    t0 = time.time()
-    songs = sampler.generate_songs(params, mcfg, gcfg, init=init, mesh=mesh)
-    elapsed = time.time() - t0
+    if getattr(args, "continuous", False):
+        # continuous batching (generate/serving.py): slots refill the
+        # moment a song completes instead of waiting for the batch's
+        # slowest song — right for n_songs >> batch serving runs
+        from reinforcement_learning_in_music_generation_tpu.generate import (
+            serving)
+        batch = args.continuous_batch or min(args.songs, 8)
+        kw = dict(n_songs=args.songs, bar_cond=args.bars, batch=batch,
+                  max_tokens_per_song=args.max_tokens)
+        if args.warmup:
+            serving.generate_songs_continuous(
+                params, mcfg, jax.random.PRNGKey(args.seed), **kw)
+        t0 = time.time()
+        res = serving.generate_songs_continuous(
+            params, mcfg, jax.random.PRNGKey(args.seed), **kw)
+        elapsed = time.time() - t0
+        songs = [np.asarray(s) for s in res.songs]
+        print(f"continuous batching: {len(songs)} songs in {res.steps} "
+              f"decode steps (batch {batch})")
+    else:
+        if args.warmup:
+            sampler.generate_songs(params, mcfg, gcfg, init=init, mesh=mesh)
+        t0 = time.time()
+        songs = sampler.generate_songs(params, mcfg, gcfg, init=init,
+                                       mesh=mesh)
+        elapsed = time.time() - t0
     total_tokens = sum(len(s) for s in songs)
     for i, song in enumerate(songs):
         path = os.path.join(args.out_dir, f"get_{i}.mid")
@@ -758,6 +779,13 @@ def build_parser() -> argparse.ArgumentParser:
     d.add_argument("--prompt", default=None,
                    help="MIDI file to continue from (CP-encoded seed)")
     d.add_argument("--prompt-tokens", type=int, default=None)
+    d.add_argument("--continuous", action="store_true",
+                   help="continuous batching: refill slots in-graph the "
+                        "moment a song completes (serving mode; right "
+                        "for --songs >> batch)")
+    d.add_argument("--continuous-batch", type=int, default=None,
+                   help="slot count for --continuous (default "
+                        "min(songs, 8))")
     d.add_argument("--dp", type=int, default=1)
     d.add_argument("--tp", type=int, default=1)
     d.add_argument("--dtype", default="bfloat16",
