@@ -66,6 +66,11 @@ def _serve_loop(params, cfg: LinearTransformerConfig, rng, init_token,
     dtype = params["in_linear"]["w"].dtype
     pe = cm.sinusoidal_table(cfg.max_len, cfg.d_model, dtype)
     step_fn = functools.partial(lt.decode_step, params, cfg, pe_table=pe)
+    # fused sort-free sampling (one concatenated head matmul; token-exact
+    # vs the per-field sampler under a shared draw — tests/test_sampling)
+    names = cm.field_names(cfg.n_fields)
+    hw = jnp.concatenate([params["heads"][n]["w"] for n in names], axis=1)
+    hb = jnp.concatenate([params["heads"][n]["b"] for n in names])
 
     state = lt.init_decode_state(cfg, b)
     # per-slot position counters (decode_step's pe gather broadcasts)
@@ -85,8 +90,9 @@ def _serve_loop(params, cfg: LinearTransformerConfig, rng, init_token,
 
     def body(c):
         t, h, state, bars, ids, max_id, songs_done, tb, ib, fb = c
-        logits = lt.forward_output(params, cfg, h)
-        tok = smp.sample_fields(rngs[t], logits, settings, greedy=False)
+        logits_cat = h @ hw + hb
+        tok = smp.sample_fields_fused(rngs[t], logits_cat, cfg.vocab_sizes,
+                                      settings, greedy=False)
         is_bar = tok[..., barbeat_field] == bar_token_id
         bars = bars + is_bar.astype(jnp.int32)
         finished = bars >= bar_cond
@@ -96,18 +102,30 @@ def _serve_loop(params, cfg: LinearTransformerConfig, rng, init_token,
         fb = jax.lax.dynamic_update_slice_in_dim(fb, finished[None], t, 0)
 
         # refill finished slots in-graph: new song id, zeroed recurrent
-        # state, position 0, the init token as the next input
-        # k-th finished slot (batch order) takes id max_id + k
-        new_ids = max_id + jnp.cumsum(finished.astype(jnp.int32)) - 1
-        ids = jnp.where(finished, new_ids, ids)
-        max_id = max_id + jnp.sum(finished.astype(jnp.int32))
-        songs_done = songs_done + jnp.sum(finished.astype(jnp.int32))
-        fmask = finished.astype(state.s.dtype)
-        s = state.s * (1 - fmask)[None, :, None, None, None]
-        z = state.z * (1 - fmask)[None, :, None, None]
-        stepv = jnp.where(finished, 0, state.step)
-        feed = jnp.where(finished[:, None], tok0, tok)
-        bars = jnp.where(finished, bars0, bars)
+        # state rows, position 0, the init token as the next input.
+        # Gated behind a cond: the masked rewrite of the (L,B,H,E,E)
+        # state costs a full extra read+write of the decode state —
+        # more HBM traffic than the decode step itself — so the common
+        # nothing-finished step must skip it (measured 4x step cost
+        # without the gate).
+        def refill(args):
+            s, z, stepv, tok_in, bars_in, ids_in, max_id_in, done_in = args
+            nfin = jnp.sum(finished.astype(jnp.int32))
+            # k-th finished slot (batch order) takes id max_id + k
+            new_ids = max_id_in + jnp.cumsum(finished.astype(jnp.int32)) - 1
+            fmask = finished.astype(s.dtype)
+            return (s * (1 - fmask)[None, :, None, None, None],
+                    z * (1 - fmask)[None, :, None, None],
+                    jnp.where(finished, 0, stepv),
+                    jnp.where(finished[:, None], tok0, tok_in),
+                    jnp.where(finished, bars0, bars_in),
+                    jnp.where(finished, new_ids, ids_in),
+                    max_id_in + nfin, done_in + nfin)
+
+        (s, z, stepv, feed, bars, ids, max_id, songs_done) = jax.lax.cond(
+            jnp.any(finished), refill, lambda a: a,
+            (state.s, state.z, state.step, tok, bars, ids, max_id,
+             songs_done))
         h2, state = step_fn(feed, lt.DecodeState(s, z, stepv))
         return t + 1, h2, state, bars, ids, max_id, songs_done, tb, ib, fb
 

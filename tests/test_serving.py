@@ -52,9 +52,13 @@ def test_continuous_first_songs_match_generate_tokens():
         max_tokens_per_song=128)
     init = jnp.tile(jnp.asarray([[0, 0, 1, 0, 0, 0]], jnp.int32)[None],
                     (4, 1, 1))
+    # fused_sampling=True: the serving loop samples through the fused
+    # sort-free sampler, which consumes the per-step rng differently
+    # than the per-field sampler — parity holds against the same path
     gt = sampler.generate_tokens(params, cfg, rng, init,
                                  max_tokens=max(res.steps, 8), bar_cond=3,
-                                 settings=tuple(smp.CP_SAMPLING))
+                                 settings=tuple(smp.CP_SAMPLING),
+                                 fused_sampling=True)
     gtt, gv = np.asarray(gt.tokens), np.asarray(gt.valid)
     served = {tuple(map(tuple, s)) for s in res.songs}
     for k in range(4):
