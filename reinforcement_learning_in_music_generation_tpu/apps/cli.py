@@ -149,7 +149,8 @@ def cmd_pretrain(args):
     pcfg = C.PretrainConfig(n_epoch=args.epochs, batch_size=args.batch_size,
                             lr=args.lr, ckpt_dir=args.ckpt_dir,
                             exp_dir=args.exp_dir, seed=args.seed,
-                            zero1=getattr(args, "zero1", False))
+                            zero1=getattr(args, "zero1", False),
+                            grad_accum=getattr(args, "grad_accum", 1))
     t0 = time.time()
     params, _, history = pretrain_lib.pretrain(
         params, mcfg, x, y, mask, pcfg, mesh=mesh, max_steps=args.max_steps,
@@ -677,6 +678,9 @@ def build_parser() -> argparse.ArgumentParser:
                         "'pp' mesh axis, microbatched ppermute pipeline; "
                         "n_layer must divide by pp, batch by dp*2*pp; "
                         "composes with --dp and --tp into a 3D mesh)")
+    d.add_argument("--grad-accum", type=int, default=1,
+                   help="micro-batches per optimizer step (gradient "
+                        "accumulation; effective batch = batch-size x N)")
     d.add_argument("--zero1", action="store_true",
                    help="ZeRO-1: shard Adam mu/nu over dp (optimizer "
                         "memory / dp; one update all-gather per step); "

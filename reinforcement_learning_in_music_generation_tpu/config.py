@@ -176,6 +176,9 @@ class PretrainConfig:
                                     # mesh with dp > 1
     prefetch_depth: int = 2         # host->device input look-ahead
                                     # (train/data_pipeline.py); 1 = inline
+    grad_accum: int = 1             # micro-batches per optimizer step
+                                    # (sum of 1/K-scaled grads == mean
+                                    # gradient of the K-fold batch)
 
 
 @dataclasses.dataclass(frozen=True)

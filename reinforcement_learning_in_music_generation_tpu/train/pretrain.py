@@ -57,6 +57,38 @@ def agent_train_step(params, opt_state, cfg: LinearTransformerConfig, tx,
     return params, opt_state, (loss, losses)
 
 
+@functools.partial(jax.jit, static_argnames=("cfg", "dp_mesh", "scale"))
+def agent_grad_step(params, cfg: LinearTransformerConfig, x, y, mask, rng,
+                    dp_mesh=None, scale: float = 1.0):
+    """Gradients + loss only (no optimizer) — the micro-batch unit of
+    gradient accumulation.  `scale` pre-divides by the accumulation
+    count so summing micro-grads yields the MEAN gradient (what a single
+    step on the concatenated batch computes, equal-sized masks)."""
+    def loss_fn(p):
+        if cfg.dtype != "float32":
+            p = jax.tree_util.tree_map(lambda a: a.astype(cfg.dtype), p)
+        losses = lt.train_losses(p, cfg, x, y, mask, deterministic=False,
+                                 rng=rng, dp_mesh=dp_mesh)
+        return jnp.mean(losses), losses
+
+    (loss, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+    if scale != 1.0:
+        grads = jax.tree_util.tree_map(lambda g: g * scale, grads)
+    return grads, (loss, losses)
+
+
+@jax.jit
+def _tree_add(a, b):
+    return jax.tree_util.tree_map(jnp.add, a, b)
+
+
+@functools.partial(jax.jit, static_argnames=("tx",), donate_argnums=(0, 1))
+def apply_grads(params, opt_state, tx, grads):
+    import optax
+    updates, opt_state = tx.update(grads, opt_state, params)
+    return optax.apply_updates(params, updates), opt_state
+
+
 @functools.partial(jax.jit,
                    static_argnames=("cfg", "tx", "mesh", "n_microbatch"))
 def agent_pp_train_step(params, opt_state, cfg: LinearTransformerConfig, tx,
@@ -107,7 +139,10 @@ def pretrain(params, cfg, train_x, train_y, train_mask,
     `resume_from` restores params + optimizer state + epoch from a
     checkpoint (true resume — the reference saves optimizer state but never
     restores it, SURVEY §5)."""
-    num_batch_sched = max(1, len(train_x) // pcfg.batch_size)
+    accum = max(1, pcfg.grad_accum)
+    # lr schedules count OPTIMIZER steps; with accumulation each step
+    # consumes `accum` micro-batches
+    num_batch_sched = max(1, len(train_x) // pcfg.batch_size // accum)
     if pcfg.lr_milestones:
         # reference milestones are epochs (torch scheduler.step() per
         # epoch, my_pretrain.py:63-66); optax counts optimizer steps
@@ -162,9 +197,14 @@ def pretrain(params, cfg, train_x, train_y, train_mask,
         # sharded per batch shard.
         step_fn = functools.partial(step_fn, dp_mesh=mesh)
 
+    if accum > 1 and mesh is not None and "pp" in mesh.shape:
+        raise ValueError("grad_accum with a pipeline mesh is not "
+                         "implemented (the accumulation path uses the "
+                         "standard forward); use a ('dp','tp') mesh")
     n = len(train_x)
     num_batch = n // pcfg.batch_size
     rng = jax.random.key(pcfg.seed, impl=pcfg.prng_impl)
+    grads_acc, micro = None, 0
     steps_done = 0
     history = []
     start = time.time()
@@ -179,8 +219,28 @@ def pretrain(params, cfg, train_x, train_y, train_mask,
                 depth=pcfg.prefetch_depth):
             saver.global_step_increment()
             rng, step_rng = jax.random.split(rng)
-            params, opt_state, (loss, losses) = step_fn(
-                params, opt_state, cfg, tx, bx, by, bm, step_rng)
+            if accum == 1:
+                params, opt_state, (loss, losses) = step_fn(
+                    params, opt_state, cfg, tx, bx, by, bm, step_rng)
+            else:
+                # gradient accumulation: K micro-grads (pre-scaled 1/K)
+                # sum to the mean gradient, one optimizer step per K.
+                # Host loop, not lax.scan — scanning grad steps stalls
+                # the axon compiler (BENCH.md platform findings).  The
+                # window carries across epoch boundaries (streaming
+                # semantics; no partial-window bias at epoch end).
+                grads, (loss, losses) = agent_grad_step(
+                    params, cfg, bx, by, bm, step_rng,
+                    dp_mesh=(mesh if mesh is not None
+                             and "pp" not in mesh.shape else None),
+                    scale=1.0 / accum)
+                grads_acc = (grads if grads_acc is None
+                             else _tree_add(grads_acc, grads))
+                micro += 1
+                if micro == accum:
+                    params, opt_state = apply_grads(params, opt_state, tx,
+                                                    grads_acc)
+                    grads_acc, micro = None, 0
             acc_loss = acc_loss + loss
             acc_losses = acc_losses + losses
             if (bidx + 1) % max(1, pcfg.log_every) == 0 or bidx == num_batch - 1:

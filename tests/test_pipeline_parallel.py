@@ -49,6 +49,7 @@ def test_pipeline_forward_matches_layer_scan(dp, pp, m):
                                atol=1e-5, rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_pipeline_loss_and_grads_match():
     cfg = _cfg()
     params = lt.init_params(jax.random.PRNGKey(0), cfg)
@@ -163,6 +164,7 @@ def test_pretrain_loop_with_pp_mesh(tmp_path):
     np.testing.assert_allclose(hist_pp, hist_ref, rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_pipeline_3d_dp_pp_tp_parity():
     """dp=2 x pp=2 x tp=2 over all 8 virtual devices: the manual-Megatron
     stage layer (_layer_forward_tp, explicit psum('tp') collectives)

@@ -10,6 +10,7 @@ correctness against the framework's own generate_tokens stream.
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from reinforcement_learning_in_music_generation_tpu import config as C
 from reinforcement_learning_in_music_generation_tpu.generate import (
@@ -66,6 +67,7 @@ def test_continuous_first_songs_match_generate_tokens():
         assert tuple(map(tuple, ref)) in served, f"slot {k} first song"
 
 
+@pytest.mark.slow
 def test_continuous_beats_synchronous_step_count():
     """Utilization: serving N songs continuously must take fewer decode
     steps than the synchronous batcher's waves (which each run to the
@@ -86,6 +88,7 @@ def test_continuous_beats_synchronous_step_count():
     assert res.steps < serial / 2, (res.steps, serial)
 
 
+@pytest.mark.slow
 def test_continuous_handles_budget_exhaustion():
     """If the budget ends mid-song the completed prefix is still
     returned (fewer songs than asked, no crash)."""

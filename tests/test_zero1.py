@@ -90,3 +90,40 @@ def test_zero1_rejects_meshless_config(tmp_path):
                             ckpt_dir=str(tmp_path), exp_dir=str(tmp_path))
     with pytest.raises(ValueError, match="needs a mesh with dp>1"):
         pt.pretrain(params, cfg, x, y, mask, pcfg)
+
+
+@pytest.mark.slow
+def test_grad_accum_matches_large_batch():
+    """K=2 accumulation over two half-batches == one step on the full
+    batch (deterministic loss, full masks, same Adam)."""
+    import reinforcement_learning_in_music_generation_tpu.train.pretrain as pt
+    import optax
+
+    cfg = _cfg()
+    params = lt.init_params(jax.random.PRNGKey(0), cfg)
+    x = jax.random.randint(jax.random.PRNGKey(1), (8, 32, 6), 0, 8)
+    y = jnp.roll(x, -1, axis=1)
+    mask = jnp.ones((8, 32), jnp.float32)
+    tx = optim.adam(1e-3, grad_clip=None)
+
+    # reference: one step on the full batch (grads = mean over 8 rows)
+    def loss_fn(p):
+        return jnp.mean(lt.train_losses(p, cfg, x, y, mask,
+                                        deterministic=True))
+    g_full = jax.grad(loss_fn)(params)
+    o0 = tx.init(params)
+    u, _ = tx.update(g_full, o0, params)
+    p_ref = optax.apply_updates(params, u)
+
+    # accumulate two half-batches via the pretrain helpers; rng=None path
+    # is unavailable (agent_grad_step trains with dropout), so use a
+    # dropout-free cfg: _cfg() has dropout=0.0 -> any rng gives the same
+    g1, _ = pt.agent_grad_step(params, cfg, x[:4], y[:4], mask[:4],
+                               jax.random.PRNGKey(5), scale=0.5)
+    g2, _ = pt.agent_grad_step(params, cfg, x[4:], y[4:], mask[4:],
+                               jax.random.PRNGKey(6), scale=0.5)
+    gsum = pt._tree_add(g1, g2)
+    p_acc, _ = pt.apply_grads(params, tx.init(params), tx, gsum)
+    d = jax.tree_util.tree_map(
+        lambda a, b: float(jnp.max(jnp.abs(a - b))), p_ref, p_acc)
+    assert max(jax.tree_util.tree_leaves(d)) < 1e-6
