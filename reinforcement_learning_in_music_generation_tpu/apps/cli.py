@@ -550,7 +550,15 @@ def cmd_generate(args):
     if getattr(args, "continuous", False):
         # continuous batching (generate/serving.py): slots refill the
         # moment a song completes instead of waiting for the batch's
-        # slowest song — right for n_songs >> batch serving runs
+        # slowest song — right for n_songs >> batch serving runs.
+        # v1 scope: stochastic, unconditional, single-device — fail
+        # loudly rather than silently ignore incompatible flags
+        if args.prompt or args.greedy or args.dp > 1 or args.tp > 1:
+            raise SystemExit(
+                "--continuous does not combine with --prompt/--greedy/"
+                "--dp/--tp yet (the serving loop is stochastic, "
+                "unconditional, single-device); drop --continuous or "
+                "those flags")
         from reinforcement_learning_in_music_generation_tpu.generate import (
             serving)
         batch = args.continuous_batch or min(args.songs, 8)

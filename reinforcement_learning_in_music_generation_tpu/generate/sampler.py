@@ -607,9 +607,7 @@ def generate_tokens(params, cfg: LinearTransformerConfig, rng: jax.Array,
 
     if fused_sampling:
         # one (D, sum V_f) head matmul + the fused sort-free sampler
-        names = cm.field_names(cfg.n_fields)
-        hw = jnp.concatenate([params["heads"][n]["w"] for n in names], axis=1)
-        hb = jnp.concatenate([params["heads"][n]["b"] for n in names])
+        hw, hb = cm.fused_head_params(params["heads"], cfg.n_fields)
 
     def step(carry, rng_t):
         h, state, bars, done = carry

@@ -52,11 +52,17 @@ class ServeResult(NamedTuple):
 
 @functools.partial(
     jax.jit, static_argnames=("cfg", "settings", "bar_cond", "max_steps",
-                              "barbeat_field", "bar_token_id", "n_songs"))
+                              "barbeat_field", "bar_token_id"))
 def _serve_loop(params, cfg: LinearTransformerConfig, rng, init_token,
-                *, n_songs: int, bar_cond: int, max_steps: int,
+                n_songs, budget, *, bar_cond: int, max_steps: int,
                 settings, barbeat_field: int = 2, bar_token_id: int = 1):
     """One jitted continuous-batching loop.  init_token (B, 1, n_fields).
+
+    `n_songs` (stop target) and `budget` (step bound) are TRACED scalars
+    and `max_steps` (the buffer size) is bucketed by the caller, so a
+    serving deployment answering varied request sizes reuses one
+    compiled program per (batch, bucket) — cold compiles through the
+    tunnel have been observed at 25+ minutes (BENCH.md).
 
     Returns (toks (T,B,nf), ids (T,B), fin (T,B), steps, songs_done):
     per step the emitted token, the song id it belongs to, and whether it
@@ -67,10 +73,8 @@ def _serve_loop(params, cfg: LinearTransformerConfig, rng, init_token,
     pe = cm.sinusoidal_table(cfg.max_len, cfg.d_model, dtype)
     step_fn = functools.partial(lt.decode_step, params, cfg, pe_table=pe)
     # fused sort-free sampling (one concatenated head matmul; token-exact
-    # vs the per-field sampler under a shared draw — tests/test_sampling)
-    names = cm.field_names(cfg.n_fields)
-    hw = jnp.concatenate([params["heads"][n]["w"] for n in names], axis=1)
-    hb = jnp.concatenate([params["heads"][n]["b"] for n in names])
+    # to generate_tokens' fused_sampling path — tests/test_serving.py)
+    hw, hb = cm.fused_head_params(params["heads"], cfg.n_fields)
 
     state = lt.init_decode_state(cfg, b)
     # per-slot position counters (decode_step's pe gather broadcasts)
@@ -86,7 +90,7 @@ def _serve_loop(params, cfg: LinearTransformerConfig, rng, init_token,
 
     def cond(c):
         t, songs_done = c[0], c[6]
-        return jnp.logical_and(t < max_steps, songs_done < n_songs)
+        return jnp.logical_and(t < budget, songs_done < n_songs)
 
     def body(c):
         t, h, state, bars, ids, max_id, songs_done, tb, ib, fb = c
@@ -154,15 +158,19 @@ def generate_songs_continuous(params, cfg: LinearTransformerConfig,
     """
     settings = tuple(settings if settings is not None else smp.CP_SAMPLING)
     if init_token is None:
-        init_token = jnp.tile(
-            jnp.asarray([[0, 0, bar_token_id, 0, 0, 0]], jnp.int32)[None],
-            (batch, 1, 1))
+        from .sampler import CP_SEED
+        init_token = jnp.tile(jnp.asarray([CP_SEED], jnp.int32)[None],
+                              (batch, 1, 1))
     # budget: the batch advances ~batch songs per max_tokens_per_song
-    # window; +1 window of slack for refill skew
+    # window; +1 window of slack for refill skew.  The buffer size
+    # buckets up to 1024-step multiples so varied request sizes share
+    # a compiled program; the exact budget stays a traced bound.
     waves = -(-n_songs // batch) + 1
-    max_steps = waves * max_tokens_per_song
+    budget = waves * max_tokens_per_song
+    max_steps = -(-budget // 1024) * 1024
     tb, ib, fb, t, songs_done = _serve_loop(
-        params, cfg, rng, init_token, n_songs=n_songs, bar_cond=bar_cond,
+        params, cfg, rng, init_token, jnp.asarray(n_songs, jnp.int32),
+        jnp.asarray(budget, jnp.int32), bar_cond=bar_cond,
         max_steps=max_steps, settings=settings,
         barbeat_field=barbeat_field, bar_token_id=bar_token_id)
     toks = np.asarray(tb)          # (T, B, nf)

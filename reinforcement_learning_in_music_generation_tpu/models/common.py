@@ -25,6 +25,17 @@ def field_names(n: int) -> Tuple[str, ...]:
     return tuple(f"field{i}" for i in range(n))
 
 
+def fused_head_params(heads: dict, n_fields: int):
+    """Concatenate the per-field output heads into one (D, sum V_f)
+    matmul — the layout the fused sort-free sampler consumes.  Single
+    source of truth for the packing order (field_names), shared by the
+    sampler's fused_sampling branch and the continuous-batching loop."""
+    names = field_names(n_fields)
+    hw = jnp.concatenate([heads[n]["w"] for n in names], axis=1)
+    hb = jnp.concatenate([heads[n]["b"] for n in names])
+    return hw, hb
+
+
 def init_linear(rng: jax.Array, d_in: int, d_out: int, dtype=jnp.float32) -> dict:
     kw, kb = jax.random.split(rng)
     bound = 1.0 / math.sqrt(d_in)

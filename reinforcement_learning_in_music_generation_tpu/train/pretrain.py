@@ -178,9 +178,9 @@ def pretrain(params, cfg, train_x, train_y, train_mask,
         f" > params amount: {lt.n_params(params):,d}")
 
     if mesh is not None and "pp" in mesh.shape:
-        # ('dp','pp') pipeline mesh: layer slabs over pp (ppermute
-        # microbatch pipeline), rows over dp.  Megatron tp specs do not
-        # apply here — pp and tp composition is future work.
+        # ('dp','pp'[,'tp']) pipeline mesh: layer slabs over pp (ppermute
+        # microbatch pipeline), rows over dp; a 'tp' axis Megatron-shards
+        # within each stage (parallel/pipeline.py:_layer_forward_tp).
         from ..parallel.pipeline import shard_params_pp
         params = shard_params_pp(mesh, params)
         if step_fn is agent_train_step:
@@ -201,6 +201,11 @@ def pretrain(params, cfg, train_x, train_y, train_mask,
         raise ValueError("grad_accum with a pipeline mesh is not "
                          "implemented (the accumulation path uses the "
                          "standard forward); use a ('dp','tp') mesh")
+    if accum > 1 and step_fn is not agent_train_step:
+        raise ValueError("grad_accum only supports the LinearTransformer "
+                         "agent path (agent_grad_step hard-codes "
+                         "lt.train_losses); the longformer/custom step_fn "
+                         "paths need their own grad step")
     n = len(train_x)
     num_batch = n // pcfg.batch_size
     rng = jax.random.key(pcfg.seed, impl=pcfg.prng_impl)
@@ -247,6 +252,13 @@ def pretrain(params, cfg, train_x, train_y, train_mask,
                 bus.log({"batch loss": float(loss)})
             steps_done += 1
             if max_steps is not None and steps_done >= max_steps:
+                # max_steps counts MICRO-batches when accumulating; a
+                # pending partial window still applies (1/K-scaled, so
+                # the trailing step is proportionally smaller — samples
+                # are never silently dropped)
+                if grads_acc is not None:
+                    params, opt_state = apply_grads(params, opt_state, tx,
+                                                    grads_acc)
                 return params, opt_state, history
 
         acc_loss = float(acc_loss)
@@ -263,6 +275,10 @@ def pretrain(params, cfg, train_x, train_y, train_mask,
         # loss-bucketed checkpointing + early stop (agent_pretrain.py:594-632)
         bucket = loss_bucket_filename(epoch_loss)
         if bucket is None:
+            if grads_acc is not None:   # pending partial accum window
+                params, opt_state = apply_grads(params, opt_state, tx,
+                                                grads_acc)
+                grads_acc = None
             save_checkpoint(f"{pcfg.ckpt_dir}/trainloss_final.ckpt", params,
                             opt_state, step=saver.global_step,
                             extra={"epoch": epoch, "loss": epoch_loss})
@@ -270,4 +286,6 @@ def pretrain(params, cfg, train_x, train_y, train_mask,
         save_checkpoint(f"{pcfg.ckpt_dir}/{bucket}.ckpt", params, opt_state,
                         step=saver.global_step,
                         extra={"epoch": epoch, "loss": epoch_loss})
+    if grads_acc is not None:           # pending partial accum window
+        params, opt_state = apply_grads(params, opt_state, tx, grads_acc)
     return params, opt_state, history

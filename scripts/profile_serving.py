@@ -88,9 +88,11 @@ def run_synchronous(params, cfg, n_songs, batch, bars, seed=0):
 def scenario(params, cfg, n_songs, batch, bars=50):
     print(f"--- {n_songs} songs x {bars} bars on {batch} slots ---",
           flush=True)
-    # warmup both programs (compiles excluded from timing)
+    # warmup both programs (compiles excluded from timing).  The serve
+    # loop buckets its buffer size, but warming with the exact timed
+    # configuration guarantees the same program regardless of bucket.
     serving.generate_songs_continuous(
-        params, cfg, jax.random.PRNGKey(1), n_songs=batch, bar_cond=bars,
+        params, cfg, jax.random.PRNGKey(1), n_songs=n_songs, bar_cond=bars,
         batch=batch, max_tokens_per_song=2048)
     r_c = run_continuous(params, cfg, n_songs, batch, bars)
     print(f"continuous : {r_c['songs']} songs  {r_c['wall_s']:.2f}s  "
