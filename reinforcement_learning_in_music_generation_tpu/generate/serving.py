@@ -20,9 +20,10 @@ Mechanics that make it cheap on TPU:
     positional-encoding gather `pe_table[state.step]` broadcasts to
     (B, D) — so slots at different positions share one program;
   * refill is a `jnp.where` over the batch axis of the (L,B,H,E,E)
-    state — a masked store, no scatter;
-  * song identity is a per-slot int that bumps on completion; the host
-    splits each slot's token column by id afterwards.
+    state — a masked store, no scatter — gated behind a cond so the
+    common nothing-finished step skips it;
+  * the per-step finish flags alone mark song boundaries; the host
+    slices each slot's token column between consecutive finishes.
 
 Steady-state utilization is ~100% of slots vs the synchronous batcher's
 E[mean]/E[max] song length (measured in tests via step counts).
@@ -64,9 +65,9 @@ def _serve_loop(params, cfg: LinearTransformerConfig, rng, init_token,
     compiled program per (batch, bucket) — cold compiles through the
     tunnel have been observed at 25+ minutes (BENCH.md).
 
-    Returns (toks (T,B,nf), ids (T,B), fin (T,B), steps, songs_done):
-    per step the emitted token, the song id it belongs to, and whether it
-    completed that song.
+    Returns (toks (T,B,nf), fin (T,B), steps, songs_done): per step the
+    emitted token and whether it completed that slot's current song —
+    the finish flags alone determine the host-side song segmentation.
     """
     b = init_token.shape[0]
     dtype = params["in_linear"]["w"].dtype
@@ -85,15 +86,14 @@ def _serve_loop(params, cfg: LinearTransformerConfig, rng, init_token,
 
     rngs = jax.random.split(rng, max_steps)
     toks_buf = jnp.zeros((max_steps, b, cfg.n_fields), jnp.int32)
-    ids_buf = jnp.zeros((max_steps, b), jnp.int32)
     fin_buf = jnp.zeros((max_steps, b), bool)
 
     def cond(c):
-        t, songs_done = c[0], c[6]
+        t, songs_done = c[0], c[4]
         return jnp.logical_and(t < budget, songs_done < n_songs)
 
     def body(c):
-        t, h, state, bars, ids, max_id, songs_done, tb, ib, fb = c
+        t, h, state, bars, songs_done, tb, fb = c
         logits_cat = h @ hw + hb
         tok = smp.sample_fields_fused(rngs[t], logits_cat, cfg.vocab_sizes,
                                       settings, greedy=False)
@@ -102,43 +102,36 @@ def _serve_loop(params, cfg: LinearTransformerConfig, rng, init_token,
         finished = bars >= bar_cond
 
         tb = jax.lax.dynamic_update_slice_in_dim(tb, tok[None], t, 0)
-        ib = jax.lax.dynamic_update_slice_in_dim(ib, ids[None], t, 0)
         fb = jax.lax.dynamic_update_slice_in_dim(fb, finished[None], t, 0)
 
-        # refill finished slots in-graph: new song id, zeroed recurrent
-        # state rows, position 0, the init token as the next input.
+        # refill finished slots in-graph: zeroed recurrent state rows,
+        # position 0, the init token as the next input.
         # Gated behind a cond: the masked rewrite of the (L,B,H,E,E)
         # state costs a full extra read+write of the decode state —
         # more HBM traffic than the decode step itself — so the common
         # nothing-finished step must skip it (measured 4x step cost
         # without the gate).
         def refill(args):
-            s, z, stepv, tok_in, bars_in, ids_in, max_id_in, done_in = args
+            s, z, stepv, tok_in, bars_in, done_in = args
             nfin = jnp.sum(finished.astype(jnp.int32))
-            # k-th finished slot (batch order) takes id max_id + k
-            new_ids = max_id_in + jnp.cumsum(finished.astype(jnp.int32)) - 1
             fmask = finished.astype(s.dtype)
             return (s * (1 - fmask)[None, :, None, None, None],
                     z * (1 - fmask)[None, :, None, None],
                     jnp.where(finished, 0, stepv),
                     jnp.where(finished[:, None], tok0, tok_in),
                     jnp.where(finished, bars0, bars_in),
-                    jnp.where(finished, new_ids, ids_in),
-                    max_id_in + nfin, done_in + nfin)
+                    done_in + nfin)
 
-        (s, z, stepv, feed, bars, ids, max_id, songs_done) = jax.lax.cond(
+        (s, z, stepv, feed, bars, songs_done) = jax.lax.cond(
             jnp.any(finished), refill, lambda a: a,
-            (state.s, state.z, state.step, tok, bars, ids, max_id,
-             songs_done))
+            (state.s, state.z, state.step, tok, bars, songs_done))
         h2, state = step_fn(feed, lt.DecodeState(s, z, stepv))
-        return t + 1, h2, state, bars, ids, max_id, songs_done, tb, ib, fb
+        return t + 1, h2, state, bars, songs_done, tb, fb
 
     init = (jnp.zeros((), jnp.int32), h, state, bars0,
-            jnp.arange(b, dtype=jnp.int32), jnp.asarray(b, jnp.int32),
-            jnp.zeros((), jnp.int32), toks_buf, ids_buf, fin_buf)
-    t, _, _, _, _, _, songs_done, tb, ib, fb = jax.lax.while_loop(
-        cond, body, init)
-    return tb, ib, fb, t, songs_done
+            jnp.zeros((), jnp.int32), toks_buf, fin_buf)
+    t, _, _, _, songs_done, tb, fb = jax.lax.while_loop(cond, body, init)
+    return tb, fb, t, songs_done
 
 
 def generate_songs_continuous(params, cfg: LinearTransformerConfig,
@@ -168,37 +161,29 @@ def generate_songs_continuous(params, cfg: LinearTransformerConfig,
     waves = -(-n_songs // batch) + 1
     budget = waves * max_tokens_per_song
     max_steps = -(-budget // 1024) * 1024
-    tb, ib, fb, t, songs_done = _serve_loop(
+    tb, fb, t, songs_done = _serve_loop(
         params, cfg, rng, init_token, jnp.asarray(n_songs, jnp.int32),
         jnp.asarray(budget, jnp.int32), bar_cond=bar_cond,
         max_steps=max_steps, settings=settings,
         barbeat_field=barbeat_field, bar_token_id=bar_token_id)
     toks = np.asarray(tb)          # (T, B, nf)
-    ids = np.asarray(ib)
     fin = np.asarray(fb)
     steps = int(t)
     init_row = np.asarray(init_token[:, 0])
 
-    # host assembly: split each slot's column by song id; a song is
-    # complete iff a step flagged it finished.  Completion order =
-    # (finishing step, slot).
+    # host assembly: each slot's song boundaries are exactly its finish
+    # flags — slice the column between consecutive finishes (O(#songs)
+    # numpy slicing, not a per-step Python walk).  Completion order =
+    # (finishing step, slot); incomplete tails are dropped.
     completed = []                 # (finish_step, slot, tokens)
     b = toks.shape[1]
     for slot in range(b):
-        cur = [init_row[slot]]
-        cur_id = slot
-        for step_i in range(steps):
-            if ids[step_i, slot] != cur_id:
-                # id changed WITHOUT a finish flag can't happen; refill
-                # starts the new song with the init token
-                cur = [init_row[slot]]
-                cur_id = int(ids[step_i, slot])
-            cur.append(toks[step_i, slot])
-            if fin[step_i, slot]:
-                completed.append((step_i, slot, np.stack(cur)))
-                cur = [init_row[slot]]
-                cur_id = -1        # next step's id is the refilled one
-        # tail: incomplete song dropped
+        start = 0
+        for fi in np.flatnonzero(fin[:steps, slot]):
+            seg = toks[start:fi + 1, slot]
+            completed.append((int(fi), slot, np.concatenate(
+                [init_row[slot:slot + 1], seg], axis=0)))
+            start = int(fi) + 1
     completed.sort(key=lambda x: (x[0], x[1]))
     songs = [song for _, _, song in completed[:n_songs]]
     return ServeResult(songs=songs, steps=steps,
