@@ -150,7 +150,9 @@ def cmd_pretrain(args):
                             lr=args.lr, ckpt_dir=args.ckpt_dir,
                             exp_dir=args.exp_dir, seed=args.seed,
                             zero1=getattr(args, "zero1", False),
-                            grad_accum=getattr(args, "grad_accum", 1))
+                            grad_accum=getattr(args, "grad_accum", 1),
+                            ckpt_backend=getattr(args, "ckpt_backend",
+                                                 "pickle"))
     t0 = time.time()
     params, _, history = pretrain_lib.pretrain(
         params, mcfg, x, y, mask, pcfg, mesh=mesh, max_steps=args.max_steps,
@@ -686,6 +688,9 @@ def build_parser() -> argparse.ArgumentParser:
                         "'pp' mesh axis, microbatched ppermute pipeline; "
                         "n_layer must divide by pp, batch by dp*2*pp; "
                         "composes with --dp and --tp into a 3D mesh)")
+    d.add_argument("--ckpt-backend", choices=("pickle", "orbax"),
+                   default="pickle",
+                   help="orbax = async, sharded-native checkpoint dirs")
     d.add_argument("--grad-accum", type=int, default=1,
                    help="micro-batches per optimizer step (gradient "
                         "accumulation; effective batch = batch-size x N)")

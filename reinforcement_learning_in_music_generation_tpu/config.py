@@ -179,6 +179,8 @@ class PretrainConfig:
     grad_accum: int = 1             # micro-batches per optimizer step
                                     # (sum of 1/K-scaled grads == mean
                                     # gradient of the K-fold batch)
+    ckpt_backend: str = "pickle"    # "pickle" (portable, host-gathered)
+                                    # or "orbax" (async, sharded-native)
 
 
 @dataclasses.dataclass(frozen=True)

@@ -163,11 +163,20 @@ def pretrain(params, cfg, train_x, train_y, train_mask,
                              "mesh")
         tx = optim.zero1(tx, mesh, params)
     opt_state = tx.init(params)
+    from ..utils import checkpoint as ckpt_lib
+    if pcfg.ckpt_backend == "orbax":
+        _save_ckpt = ckpt_lib.save_checkpoint_orbax
+    else:
+        _save_ckpt = save_checkpoint
     start_epoch = 0
     if resume_from is not None:
-        from ..utils.checkpoint import load_checkpoint
-        ck = load_checkpoint(resume_from, params_template=params,
-                             opt_state_template=opt_state)
+        # a directory is an orbax checkpoint; a file is the pickle format
+        import os as _os
+        load = (ckpt_lib.load_checkpoint_orbax
+                if _os.path.isdir(resume_from) else
+                ckpt_lib.load_checkpoint)
+        ck = load(resume_from, params_template=params,
+                  opt_state_template=opt_state)
         params = ck["params"]
         if ck["opt_state"] is not None:
             opt_state = ck["opt_state"]
@@ -279,13 +288,15 @@ def pretrain(params, cfg, train_x, train_y, train_mask,
                 params, opt_state = apply_grads(params, opt_state, tx,
                                                 grads_acc)
                 grads_acc = None
-            save_checkpoint(f"{pcfg.ckpt_dir}/trainloss_final.ckpt", params,
+            _save_ckpt(f"{pcfg.ckpt_dir}/trainloss_final.ckpt", params,
                             opt_state, step=saver.global_step,
                             extra={"epoch": epoch, "loss": epoch_loss})
             return params, opt_state, history
-        save_checkpoint(f"{pcfg.ckpt_dir}/{bucket}.ckpt", params, opt_state,
+        _save_ckpt(f"{pcfg.ckpt_dir}/{bucket}.ckpt", params, opt_state,
                         step=saver.global_step,
                         extra={"epoch": epoch, "loss": epoch_loss})
     if grads_acc is not None:           # pending partial accum window
         params, opt_state = apply_grads(params, opt_state, tx, grads_acc)
+    if pcfg.ckpt_backend == "orbax":   # flush in-flight async saves
+        ckpt_lib.wait_for_checkpoints()
     return params, opt_state, history

@@ -1,5 +1,7 @@
 from . import expio
-from .checkpoint import load_checkpoint, load_params_lenient, save_checkpoint
+from .checkpoint import (load_checkpoint, load_checkpoint_orbax,
+                         load_params_lenient, save_checkpoint,
+                         save_checkpoint_orbax, wait_for_checkpoints)
 from .metrics import RuntimeStats, profile_trace, summarize_trace
 from .plotting import (bi_loss_plot, curve_plot, make_loss_report,
                        score_plotting, tri_loss_plot)
@@ -7,7 +9,8 @@ from .saver import MetricsBus, Saver, loss_bucket_filename
 
 __all__ = [
     "expio",
-    "load_checkpoint", "load_params_lenient", "save_checkpoint",
+    "load_checkpoint", "load_checkpoint_orbax", "load_params_lenient",
+    "save_checkpoint", "save_checkpoint_orbax", "wait_for_checkpoints",
     "RuntimeStats", "profile_trace", "summarize_trace",
     "bi_loss_plot", "curve_plot", "make_loss_report", "score_plotting",
     "tri_loss_plot",

@@ -100,3 +100,86 @@ def load_params_lenient(path: str, params_template: Any) -> Any:
         return tv
 
     return jax.tree_util.tree_map_with_path(merge, params_template)
+
+
+# ---------------------------------------------------------------------------
+# Orbax backend (production: async, sharded-array-native)
+# ---------------------------------------------------------------------------
+#
+# The pickle format above gathers every array to host before writing —
+# simple and portable, but it serializes training for the full device->host
+# copy and loses shardings.  The orbax backend saves jax.Arrays natively
+# (per-shard, multi-host-safe) and can run ASYNCHRONOUSLY: training
+# continues while the previous checkpoint streams to disk.  Step/extra
+# metadata lives in a JSON sidecar so the orbax tree is pure arrays.
+
+_ORBAX_SAVER = None
+
+
+def _orbax():
+    import orbax.checkpoint as ocp
+    return ocp
+
+
+def _orbax_saver():
+    global _ORBAX_SAVER
+    if _ORBAX_SAVER is None:
+        ocp = _orbax()
+        _ORBAX_SAVER = ocp.AsyncCheckpointer(ocp.StandardCheckpointHandler())
+    return _ORBAX_SAVER
+
+
+def save_checkpoint_orbax(path: str, params: Any, opt_state: Any = None,
+                          step: int = 0, extra: Optional[dict] = None,
+                          wait: bool = False) -> str:
+    """Async orbax save to directory `path` (created/overwritten).  Returns
+    immediately with the write in flight; call wait_for_checkpoints()
+    (or pass wait=True) before reading it back or exiting the process."""
+    import json
+    ocp = _orbax()
+    path = os.path.abspath(path)
+    tree = {"params": params}
+    if opt_state is not None:
+        tree["opt_state"] = opt_state
+    saver = _orbax_saver()
+    saver.save(path, args=ocp.args.StandardSave(tree), force=True)
+    meta = {"step": int(step), "extra": extra or {}}
+    with open(path + ".meta.json", "w") as f:
+        json.dump(meta, f)
+    if wait:
+        saver.wait_until_finished()
+    return path
+
+
+def wait_for_checkpoints() -> None:
+    """Block until every in-flight async orbax save has committed."""
+    if _ORBAX_SAVER is not None:
+        _ORBAX_SAVER.wait_until_finished()
+
+
+def load_checkpoint_orbax(path: str, params_template: Any = None,
+                          opt_state_template: Any = None) -> dict:
+    """Returns {'params','opt_state','step','extra'} like load_checkpoint.
+    Templates restore arrays with the template's sharding/dtype (orbax
+    restores in place onto the same device layout)."""
+    import json
+    ocp = _orbax()
+    path = os.path.abspath(path)
+    wait_for_checkpoints()
+    target = None
+    if params_template is not None:
+        target = {"params": params_template}
+        if opt_state_template is not None:
+            target["opt_state"] = opt_state_template
+    with ocp.Checkpointer(ocp.StandardCheckpointHandler()) as reader:
+        if target is not None:
+            tree = reader.restore(path, args=ocp.args.StandardRestore(target))
+        else:
+            tree = reader.restore(path)
+    meta = {"step": 0, "extra": {}}
+    if os.path.exists(path + ".meta.json"):
+        with open(path + ".meta.json") as f:
+            meta = json.load(f)
+    return {"params": tree.get("params"),
+            "opt_state": tree.get("opt_state"),
+            "step": meta["step"], "extra": meta["extra"]}

@@ -5,6 +5,7 @@ import os
 
 import jax
 import numpy as np
+import pytest
 
 from reinforcement_learning_in_music_generation_tpu import config as C
 from reinforcement_learning_in_music_generation_tpu.data import dataset
@@ -73,3 +74,74 @@ def test_pretrain_resume(tmp_path):
     l_res = jax.tree_util.tree_leaves(p2)[0]
     assert not np.allclose(np.asarray(l_fresh), np.asarray(l_res))
     assert hist2[-1] <= hist1[0]
+
+
+def test_orbax_roundtrip_preserves_values_and_shardings(tmp_path):
+    """Orbax backend: async save -> restore matches, and a dp-sharded
+    tree restores with the template's sharding."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from reinforcement_learning_in_music_generation_tpu.utils import (
+        checkpoint as ck)
+    from reinforcement_learning_in_music_generation_tpu.parallel import (
+        make_mesh)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    mesh = make_mesh(dp=4, tp=2)
+    w = jax.device_put(jnp.arange(64, dtype=jnp.float32).reshape(8, 8),
+                       NamedSharding(mesh, P("dp", "tp")))
+    params = {"layer": {"w": w, "b": jnp.ones((8,))}}
+    path = str(tmp_path / "ck_orbax")
+    ck.save_checkpoint_orbax(path, params, opt_state={"mu": params},
+                             step=7, extra={"epoch": 3})
+    ck.wait_for_checkpoints()
+    out = ck.load_checkpoint_orbax(path, params_template=params,
+                                   opt_state_template={"mu": params})
+    np.testing.assert_array_equal(np.asarray(out["params"]["layer"]["w"]),
+                                  np.asarray(w))
+    assert out["step"] == 7 and out["extra"]["epoch"] == 3
+    restored = out["params"]["layer"]["w"]
+    assert restored.sharding.spec == P("dp", "tp")
+    np.testing.assert_array_equal(
+        np.asarray(out["opt_state"]["mu"]["layer"]["b"]), np.ones(8))
+
+
+@pytest.mark.slow
+def test_pretrain_loop_orbax_backend_resume(tmp_path):
+    """ckpt_backend='orbax': the loop writes orbax dirs and resume from
+    one continues the loss trajectory exactly like the pickle backend."""
+    import jax
+    import numpy as np
+    import reinforcement_learning_in_music_generation_tpu.train.pretrain as pt
+    from reinforcement_learning_in_music_generation_tpu import config as C
+    from reinforcement_learning_in_music_generation_tpu.data import dataset
+    from reinforcement_learning_in_music_generation_tpu.models import (
+        linear_transformer as lt)
+
+    cfg = C.LinearTransformerConfig(
+        vocab_sizes=(8,) * 6, emb_sizes=(8,) * 6, d_model=32, n_layer=2,
+        n_head=2, d_inner=64, dropout=0.0)
+    x, y, mask = dataset.synthetic_cp_dataset(4, 32, n_class=cfg.vocab_sizes)
+    params = lt.init_params(jax.random.PRNGKey(0), cfg)
+
+    pc = lambda d, **kw: C.PretrainConfig(
+        n_epoch=kw.pop("n_epoch", 2), batch_size=4, lr=1e-3,
+        ckpt_dir=str(tmp_path / d), exp_dir=str(tmp_path / (d + "e")), **kw)
+    _, _, hist_ref = pt.pretrain(params, cfg, x, y, mask, pc("ref", n_epoch=4))
+
+    p1 = pc("orb", n_epoch=2, ckpt_backend="orbax")
+    _, _, h1 = pt.pretrain(params, cfg, x, y, mask, p1)
+    import json
+    import os
+    cks = [f for f in os.listdir(p1.ckpt_dir) if not f.endswith(".json")]
+    assert cks and all(os.path.isdir(os.path.join(p1.ckpt_dir, c))
+                       for c in cks)
+
+    def _epoch(name):
+        with open(os.path.join(p1.ckpt_dir, name) + ".meta.json") as f:
+            return json.load(f)["extra"]["epoch"]
+    latest = os.path.join(p1.ckpt_dir, max(cks, key=_epoch))
+    p2 = pc("orb2", n_epoch=4, ckpt_backend="orbax")
+    _, _, h2 = pt.pretrain(params, cfg, x, y, mask, p2, resume_from=latest)
+    np.testing.assert_allclose(h1 + h2, hist_ref, rtol=1e-4, atol=1e-5)
