@@ -53,10 +53,11 @@ class ServeResult(NamedTuple):
 
 @functools.partial(
     jax.jit, static_argnames=("cfg", "settings", "bar_cond", "max_steps",
-                              "barbeat_field", "bar_token_id"))
+                              "barbeat_field", "bar_token_id", "fused"))
 def _serve_loop(params, cfg: LinearTransformerConfig, rng, init_token,
                 n_songs, budget, *, bar_cond: int, max_steps: int,
-                settings, barbeat_field: int = 2, bar_token_id: int = 1):
+                settings, barbeat_field: int = 2, bar_token_id: int = 1,
+                fused: bool = False):
     """One jitted continuous-batching loop.  init_token (B, 1, n_fields).
 
     `n_songs` (stop target) and `budget` (step bound) are TRACED scalars
@@ -72,14 +73,29 @@ def _serve_loop(params, cfg: LinearTransformerConfig, rng, init_token,
     b = init_token.shape[0]
     dtype = params["in_linear"]["w"].dtype
     pe = cm.sinusoidal_table(cfg.max_len, cfg.d_model, dtype)
-    step_fn = functools.partial(lt.decode_step, params, cfg, pe_table=pe)
+    if fused:
+        # v4 head-pair-packed whole-step kernel (the production per-step
+        # path; generate_tokens' fused branch) — batch must be 1 or a
+        # multiple of the 8-row sublane tile
+        from ..ops import decode_kernel_v4 as dk4
+        v4p = dk4.make_v4_params(params, cfg, dtype=dtype)
+        state0 = dk4.init_pair_state(cfg, b)
+        state = dk4.PairState(state0.s, state0.z,
+                              jnp.zeros((b,), jnp.int32))
+        step_fn = functools.partial(dk4.decode_step_v4, params, v4p, cfg,
+                                    pe_table=pe)
+        batch_axis = 2      # s (L, H/2, B, E, 2E)
+    else:
+        step_fn = functools.partial(lt.decode_step, params, cfg,
+                                    pe_table=pe)
+        state0 = lt.init_decode_state(cfg, b)
+        # per-slot position counters (the pe gather broadcasts)
+        state = lt.DecodeState(state0.s, state0.z,
+                               jnp.zeros((b,), jnp.int32))
+        batch_axis = 1      # s (L, B, H, E, E)
     # fused sort-free sampling (one concatenated head matmul; token-exact
     # to generate_tokens' fused_sampling path — tests/test_serving.py)
     hw, hb = cm.fused_head_params(params["heads"], cfg.n_fields)
-
-    state = lt.init_decode_state(cfg, b)
-    # per-slot position counters (decode_step's pe gather broadcasts)
-    state = lt.DecodeState(state.s, state.z, jnp.zeros((b,), jnp.int32))
     tok0 = init_token[:, 0]
     h, state = step_fn(tok0, state)
     bars0 = (tok0[..., barbeat_field] == bar_token_id).astype(jnp.int32)
@@ -114,9 +130,12 @@ def _serve_loop(params, cfg: LinearTransformerConfig, rng, init_token,
         def refill(args):
             s, z, stepv, tok_in, bars_in, done_in = args
             nfin = jnp.sum(finished.astype(jnp.int32))
-            fmask = finished.astype(s.dtype)
-            return (s * (1 - fmask)[None, :, None, None, None],
-                    z * (1 - fmask)[None, :, None, None],
+
+            def keep(arr):          # 0 out finished slots' batch rows
+                shape = [1] * arr.ndim
+                shape[batch_axis] = b
+                return arr * (1 - finished.astype(arr.dtype)).reshape(shape)
+            return (keep(s), keep(z),
                     jnp.where(finished, 0, stepv),
                     jnp.where(finished[:, None], tok0, tok_in),
                     jnp.where(finished, bars0, bars_in),
@@ -125,7 +144,8 @@ def _serve_loop(params, cfg: LinearTransformerConfig, rng, init_token,
         (s, z, stepv, feed, bars, songs_done) = jax.lax.cond(
             jnp.any(finished), refill, lambda a: a,
             (state.s, state.z, state.step, tok, bars, songs_done))
-        h2, state = step_fn(feed, lt.DecodeState(s, z, stepv))
+        new_state = type(state)(s, z, stepv)
+        h2, state = step_fn(feed, new_state)
         return t + 1, h2, state, bars, songs_done, tb, fb
 
     init = (jnp.zeros((), jnp.int32), h, state, bars0,
@@ -141,15 +161,22 @@ def generate_songs_continuous(params, cfg: LinearTransformerConfig,
                               settings: Optional[Tuple] = None,
                               init_token: Optional[jax.Array] = None,
                               barbeat_field: int = 2, bar_token_id: int = 1,
+                              fused: Optional[bool] = None,
                               ) -> ServeResult:
     """Serve `n_songs` of `bar_cond` bars each with continuous batching.
 
     Each returned song INCLUDES its leading init token (matching
     sampler.generate_songs' convention of seed + generated stream).
     `max_tokens_per_song` sizes the step budget; the loop exits early the
-    moment enough songs complete.
+    moment enough songs complete.  `fused=None` auto-picks the v4 fused
+    per-step kernel on TPU when the config allows it (even n_head, batch
+    1 or a multiple of 8) — same dispatch rule as generate_tokens.
     """
     settings = tuple(settings if settings is not None else smp.CP_SAMPLING)
+    if fused is None:
+        from .sampler import use_fused_decode
+        fused = (use_fused_decode() and cfg.n_head % 2 == 0
+                 and (batch == 1 or batch % 8 == 0))
     if init_token is None:
         from .sampler import CP_SEED
         init_token = jnp.tile(jnp.asarray([CP_SEED], jnp.int32)[None],
@@ -165,7 +192,8 @@ def generate_songs_continuous(params, cfg: LinearTransformerConfig,
         params, cfg, rng, init_token, jnp.asarray(n_songs, jnp.int32),
         jnp.asarray(budget, jnp.int32), bar_cond=bar_cond,
         max_steps=max_steps, settings=settings,
-        barbeat_field=barbeat_field, bar_token_id=bar_token_id)
+        barbeat_field=barbeat_field, bar_token_id=bar_token_id,
+        fused=bool(fused))
     toks = np.asarray(tb)          # (T, B, nf)
     fin = np.asarray(fb)
     steps = int(t)

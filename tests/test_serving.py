@@ -100,3 +100,25 @@ def test_continuous_handles_budget_exhaustion():
     assert len(res.songs) <= 50
     for s in res.songs:
         assert int((s[:, 2] == 1).sum()) == 30
+
+
+@pytest.mark.slow
+def test_continuous_fused_v4_matches_xla_interpret():
+    """fused=True routes the serve loop through the v4 whole-step kernel
+    (interpret mode on CPU); v4 is bit-stable vs the XLA step, so the
+    served songs must be identical."""
+    from jax.experimental import pallas as pl  # noqa: F401
+    from jax.experimental.pallas import tpu as pltpu
+
+    cfg = _cfg()
+    params = lt.init_params(jax.random.PRNGKey(0), cfg)
+    rng = jax.random.PRNGKey(11)
+    kw = dict(n_songs=6, bar_cond=2, batch=8, max_tokens_per_song=64)
+    ref = serving.generate_songs_continuous(params, cfg, rng, fused=False,
+                                            **kw)
+    with pltpu.force_tpu_interpret_mode():
+        out = serving.generate_songs_continuous(params, cfg, rng,
+                                                fused=True, **kw)
+    assert len(ref.songs) == len(out.songs) == 6
+    for a, b in zip(ref.songs, out.songs):
+        np.testing.assert_array_equal(a, b)
