@@ -152,7 +152,9 @@ def cmd_pretrain(args):
                             zero1=getattr(args, "zero1", False),
                             grad_accum=getattr(args, "grad_accum", 1),
                             ckpt_backend=getattr(args, "ckpt_backend",
-                                                 "pickle"))
+                                                 "pickle"),
+                            save_on_interrupt=getattr(
+                                args, "save_on_interrupt", False))
     t0 = time.time()
     params, _, history = pretrain_lib.pretrain(
         params, mcfg, x, y, mask, pcfg, mesh=mesh, max_steps=args.max_steps,
@@ -688,6 +690,9 @@ def build_parser() -> argparse.ArgumentParser:
                         "'pp' mesh axis, microbatched ppermute pipeline; "
                         "n_layer must divide by pp, batch by dp*2*pp; "
                         "composes with --dp and --tp into a 3D mesh)")
+    d.add_argument("--save-on-interrupt", action="store_true",
+                   help="SIGTERM/SIGINT checkpoints to interrupt.ckpt and "
+                        "exits cleanly (preemption-safe long runs)")
     d.add_argument("--ckpt-backend", choices=("pickle", "orbax"),
                    default="pickle",
                    help="orbax = async, sharded-native checkpoint dirs")

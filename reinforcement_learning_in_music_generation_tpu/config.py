@@ -181,6 +181,9 @@ class PretrainConfig:
                                     # gradient of the K-fold batch)
     ckpt_backend: str = "pickle"    # "pickle" (portable, host-gathered)
                                     # or "orbax" (async, sharded-native)
+    save_on_interrupt: bool = False  # install a SIGTERM/SIGINT handler
+                                     # that checkpoints + exits cleanly
+                                     # (TPU-pod preemption contract)
 
 
 @dataclasses.dataclass(frozen=True)

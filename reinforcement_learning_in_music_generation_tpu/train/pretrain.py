@@ -10,6 +10,7 @@ loss <= 0.05 reproduce agent_pretrain.py:594-632.
 from __future__ import annotations
 
 import functools
+import threading
 import time
 from typing import Callable, Optional
 
@@ -125,6 +126,25 @@ def longformer_lm_step(params, opt_state, cfg: WindowTransformerConfig, tx,
 # host loop
 # ---------------------------------------------------------------------------
 
+# Set by the SIGTERM/SIGINT handler (pcfg.save_on_interrupt) or directly
+# by an embedding application: the loop checkpoints and returns cleanly
+# at the next batch boundary.  Module-level so a handler installed once
+# covers any number of pretrain() calls.
+INTERRUPT = threading.Event()
+
+
+def _install_interrupt_handler():
+    import signal
+
+    def handler(signum, frame):
+        INTERRUPT.set()
+    try:
+        signal.signal(signal.SIGTERM, handler)
+        signal.signal(signal.SIGINT, handler)
+    except ValueError:
+        pass        # not the main thread; caller sets INTERRUPT directly
+
+
 def pretrain(params, cfg, train_x, train_y, train_mask,
              pcfg: PretrainConfig = PretrainConfig(), *,
              step_fn: Callable = agent_train_step,
@@ -138,7 +158,13 @@ def pretrain(params, cfg, train_x, train_y, train_mask,
     (for tests/benchmarks); `mesh` shards batches over 'dp';
     `resume_from` restores params + optimizer state + epoch from a
     checkpoint (true resume — the reference saves optimizer state but never
-    restores it, SURVEY §5)."""
+    restores it, SURVEY §5).
+
+    With pcfg.save_on_interrupt, SIGTERM/SIGINT (the TPU-pod preemption
+    signal) checkpoints to `<ckpt_dir>/interrupt.ckpt` at the next batch
+    boundary and returns cleanly — resume_from that path continues the
+    run.  Embedders can set train.pretrain.INTERRUPT directly instead of
+    sending a signal."""
     accum = max(1, pcfg.grad_accum)
     # lr schedules count OPTIMIZER steps; with accumulation each step
     # consumes `accum` micro-batches
@@ -215,6 +241,9 @@ def pretrain(params, cfg, train_x, train_y, train_mask,
                          "agent path (agent_grad_step hard-codes "
                          "lt.train_losses); the longformer/custom step_fn "
                          "paths need their own grad step")
+    if pcfg.save_on_interrupt:
+        _install_interrupt_handler()
+        INTERRUPT.clear()
     n = len(train_x)
     num_batch = n // pcfg.batch_size
     rng = jax.random.key(pcfg.seed, impl=pcfg.prng_impl)
@@ -260,6 +289,18 @@ def pretrain(params, cfg, train_x, train_y, train_mask,
             if (bidx + 1) % max(1, pcfg.log_every) == 0 or bidx == num_batch - 1:
                 bus.log({"batch loss": float(loss)})
             steps_done += 1
+            if pcfg.save_on_interrupt and INTERRUPT.is_set():
+                if grads_acc is not None:
+                    params, opt_state = apply_grads(params, opt_state, tx,
+                                                    grads_acc)
+                path = f"{pcfg.ckpt_dir}/interrupt.ckpt"
+                _save_ckpt(path, params, opt_state, step=saver.global_step,
+                           extra={"epoch": epoch - 1, "interrupted": True})
+                if pcfg.ckpt_backend == "orbax":
+                    ckpt_lib.wait_for_checkpoints()
+                saver.add_summary_msg(
+                    f" > interrupted: checkpoint saved to {path}")
+                return params, opt_state, history
             if max_steps is not None and steps_done >= max_steps:
                 # max_steps counts MICRO-batches when accumulating; a
                 # pending partial window still applies (1/K-scaled, so

@@ -145,3 +145,41 @@ def test_pretrain_loop_orbax_backend_resume(tmp_path):
     p2 = pc("orb2", n_epoch=4, ckpt_backend="orbax")
     _, _, h2 = pt.pretrain(params, cfg, x, y, mask, p2, resume_from=latest)
     np.testing.assert_allclose(h1 + h2, hist_ref, rtol=1e-4, atol=1e-5)
+
+
+def test_interrupt_checkpoint_and_resume(tmp_path):
+    """save_on_interrupt: setting train.pretrain.INTERRUPT (what the
+    SIGTERM handler does) checkpoints at the next batch boundary and
+    returns; resume_from that checkpoint continues training."""
+    cfg = TINY
+    x, y, mask = dataset.synthetic_cp_dataset(8, 16, n_class=cfg.vocab_sizes)
+    params = lt.init_params(jax.random.PRNGKey(0), cfg)
+
+    calls = []
+
+    def step_fn(*a, **k):
+        out = pt.agent_train_step(*a, **k)
+        calls.append(1)
+        if len(calls) == 2:
+            pt.INTERRUPT.set()
+        return out
+
+    pcfg = C.PretrainConfig(n_epoch=5, batch_size=4, lr=1e-3,
+                            save_on_interrupt=True,
+                            ckpt_dir=str(tmp_path / "c"),
+                            exp_dir=str(tmp_path / "e"))
+    pt.pretrain(params, cfg, x, y, mask, pcfg, step_fn=step_fn)
+    path = str(tmp_path / "c" / "interrupt.ckpt")
+    assert os.path.exists(path)
+    assert len(calls) == 2          # stopped at the batch boundary
+    from reinforcement_learning_in_music_generation_tpu.utils import (
+        load_checkpoint)
+    ck = load_checkpoint(path)
+    assert ck["extra"]["interrupted"] is True
+
+    pcfg2 = C.PretrainConfig(n_epoch=1, batch_size=4, lr=1e-3,
+                             ckpt_dir=str(tmp_path / "c2"),
+                             exp_dir=str(tmp_path / "e2"))
+    _, _, hist = pt.pretrain(params, cfg, x, y, mask, pcfg2,
+                             resume_from=path)
+    assert len(hist) == 1 and np.isfinite(hist[0])
