@@ -597,6 +597,65 @@ def cmd_generate(args):
           f"({total_tokens} tokens in {elapsed:.2f}s)")
 
 
+def cmd_serve(args):
+    """Long-running generation daemon (generate/serving.py): tails a
+    JSONL request file, answers each request with continuous-batched
+    decode, writes MIDIs + responses.jsonl.  The model loads ONCE and
+    compiled programs are reused across requests — the reference's
+    inference scripts reload the model per invocation."""
+    import json
+    jax = _jax()
+    from reinforcement_learning_in_music_generation_tpu import config as C
+    from reinforcement_learning_in_music_generation_tpu.data import tokenizer
+    from reinforcement_learning_in_music_generation_tpu.generate import serving
+    from reinforcement_learning_in_music_generation_tpu.models import (
+        linear_transformer as lt)
+    from reinforcement_learning_in_music_generation_tpu.train import (
+        pretrain_lib)
+
+    dicts = tokenizer.drop_type(tokenizer.construct_cp_dict())
+    _, w2e = dicts
+    vocab = tuple(tokenizer.n_classes(dicts[0]))
+    mcfg = C.agent_config(vocab, n_layer=args.layers)
+    if args.ckpt:
+        from reinforcement_learning_in_music_generation_tpu.utils import (
+            load_checkpoint)
+        tmpl = lt.init_params(jax.random.PRNGKey(0), mcfg)
+        params = load_checkpoint(args.ckpt, params_template=tmpl)["params"]
+    else:
+        params = lt.init_params(jax.random.PRNGKey(args.seed), mcfg)
+    if args.dtype == "bfloat16":
+        import jax.numpy as jnp
+        params = jax.tree_util.tree_map(
+            lambda a: a.astype(jnp.bfloat16), params)
+    os.makedirs(args.out_dir, exist_ok=True)
+    resp_path = os.path.join(args.out_dir, "responses.jsonl")
+
+    def on_result(req, res):
+        rid = str(req.get("id", "req"))
+        paths = []
+        for k, song in enumerate(res.songs):
+            path = os.path.join(args.out_dir, f"{rid}_{k}.mid")
+            tokenizer.write_midi_cp(np.asarray(song), path, w2e)
+            paths.append(path)
+        line = {"id": rid, "songs": len(res.songs), "steps": res.steps,
+                "files": paths}
+        with open(resp_path, "a") as f:
+            f.write(json.dumps(line) + "\n")
+        print(f"served {rid}: {len(res.songs)} songs in {res.steps} steps")
+
+    pretrain_lib._install_interrupt_handler()   # SIGTERM = clean drain
+    print(f"serving from {args.requests} (batch {args.batch}); "
+          f"shutdown: SIGTERM or a {{\"cmd\": \"shutdown\"}} line")
+    n = serving.serve_requests(
+        params, mcfg, args.requests, on_result, batch=args.batch,
+        poll_s=args.poll, max_requests=args.max_requests,
+        idle_timeout_s=args.idle_timeout,
+        max_tokens_per_song=args.max_tokens,
+        stop_event=pretrain_lib.INTERRUPT)
+    print(f"served {n} requests; exiting")
+
+
 def cmd_inference(args):
     """PPO-style fixed-token generation (ppo_policy/inference.py:78-161)."""
     jax = _jax()
@@ -814,6 +873,24 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=("float32", "bfloat16"),
                    help="decode weight dtype (bf16 halves HBM traffic)")
     d.set_defaults(fn=cmd_generate)
+
+    d = sub.add_parser("serve", help="generation daemon over a JSONL "
+                                     "request file (continuous batching)")
+    d.add_argument("--requests", required=True,
+                   help="JSONL file to tail: {\"id\", \"songs\", "
+                        "\"bars\", \"seed\"}; {\"cmd\": "
+                        "\"shutdown\"} stops")
+    d.add_argument("--out-dir", default="served")
+    d.add_argument("--batch", type=int, default=8)
+    d.add_argument("--layers", type=int, default=12)
+    d.add_argument("--ckpt", default=None)
+    d.add_argument("--dtype", default="float32")
+    d.add_argument("--seed", type=int, default=0)
+    d.add_argument("--poll", type=float, default=0.5)
+    d.add_argument("--max-tokens", type=int, default=4096)
+    d.add_argument("--max-requests", type=int, default=None)
+    d.add_argument("--idle-timeout", type=float, default=None)
+    d.set_defaults(fn=cmd_serve)
 
     d = sub.add_parser("inference", help="PPO-style fixed-token generation")
     d.add_argument("--tokens", type=int, default=150)

@@ -216,3 +216,80 @@ def generate_songs_continuous(params, cfg: LinearTransformerConfig,
     songs = [song for _, _, song in completed[:n_songs]]
     return ServeResult(songs=songs, steps=steps,
                        songs_done=int(songs_done))
+
+
+def serve_requests(params, cfg: LinearTransformerConfig,
+                   requests_path: str, on_result, *, batch: int = 8,
+                   poll_s: float = 0.5, max_requests: Optional[int] = None,
+                   idle_timeout_s: Optional[float] = None,
+                   max_tokens_per_song: int = 512, base_seed: int = 0,
+                   stop_event=None) -> int:
+    """Long-running request server over the continuous batcher.
+
+    Tails `requests_path` (JSON lines, appended by producers):
+
+        {"id": "r1", "songs": 3, "bars": 20, "seed": 7}
+        {"cmd": "shutdown"}
+
+    and calls `on_result(request, ServeResult)` per completed request
+    (the CLI's callback writes MIDIs + a responses.jsonl line).  The
+    model stays resident: same (batch, buffer-bucket) requests reuse one
+    compiled program (traced stop targets), and the packed-weight /
+    sampler setup amortizes across requests.
+
+    Stops on a shutdown command, after `max_requests`, after
+    `idle_timeout_s` with no new work, or when `stop_event` (a
+    threading.Event; e.g. train.pretrain.INTERRUPT wired to SIGTERM)
+    is set.  Returns the number of requests served.
+
+    The reference has no serving story at all — its inference scripts
+    load the model per invocation (testing-no-type-cp.py, inference.py).
+    """
+    import json
+    import time as _time
+
+    served = 0
+    offset = 0
+    last_work = _time.monotonic()
+    while True:
+        if stop_event is not None and stop_event.is_set():
+            return served
+        if max_requests is not None and served >= max_requests:
+            return served
+        lines = []
+        try:
+            with open(requests_path, "r") as f:
+                f.seek(offset)
+                chunk = f.read()
+        except FileNotFoundError:
+            chunk = ""
+        if chunk:
+            # only consume COMPLETE lines (a producer may be mid-append)
+            complete, _, partial = chunk.rpartition("\n")
+            if complete:
+                offset += len(complete) + 1
+                lines = [ln for ln in complete.split("\n") if ln.strip()]
+        if not lines:
+            if (idle_timeout_s is not None
+                    and _time.monotonic() - last_work > idle_timeout_s):
+                return served
+            _time.sleep(poll_s)
+            continue
+        for ln in lines:
+            try:
+                req = json.loads(ln)
+            except json.JSONDecodeError:
+                continue
+            if req.get("cmd") == "shutdown":
+                return served
+            rng = jax.random.PRNGKey(int(req.get("seed",
+                                               base_seed + served)))
+            res = generate_songs_continuous(
+                params, cfg, rng, n_songs=int(req.get("songs", 1)),
+                bar_cond=int(req.get("bars", 50)), batch=batch,
+                max_tokens_per_song=max_tokens_per_song)
+            on_result(req, res)
+            served += 1
+            last_work = _time.monotonic()
+            if max_requests is not None and served >= max_requests:
+                return served

@@ -122,3 +122,41 @@ def test_continuous_fused_v4_matches_xla_interpret():
     assert len(ref.songs) == len(out.songs) == 6
     for a, b in zip(ref.songs, out.songs):
         np.testing.assert_array_equal(a, b)
+
+
+def test_serve_requests_tail_follow_and_shutdown(tmp_path):
+    """serve_requests tails the JSONL file (second request appended
+    while the server runs), answers each with continuous batching, and
+    stops on the shutdown command."""
+    import json
+    import threading
+    import time
+
+    cfg = _cfg()
+    params = lt.init_params(jax.random.PRNGKey(0), cfg)
+    reqs = tmp_path / "reqs.jsonl"
+    reqs.write_text('{"id": "a", "songs": 2, "bars": 2, "seed": 1}\n')
+    results = {}
+
+    def on_result(req, res):
+        results[req["id"]] = res
+
+    def later():
+        time.sleep(1.5)
+        with open(reqs, "a") as f:
+            f.write('{"id": "b", "songs": 1, "bars": 3, "seed": 2}\n')
+            f.write('{"cmd": "shutdown"}\n')
+
+    t = threading.Thread(target=later, daemon=True)
+    t.start()
+    n = serving.serve_requests(params, cfg, str(reqs), on_result,
+                               batch=2, poll_s=0.1,
+                               max_tokens_per_song=64)
+    t.join()
+    assert n == 2
+    assert len(results["a"].songs) == 2
+    assert len(results["b"].songs) == 1
+    for s in results["a"].songs:
+        assert int((s[:, 2] == 1).sum()) == 2
+    for s in results["b"].songs:
+        assert int((s[:, 2] == 1).sum()) == 3
