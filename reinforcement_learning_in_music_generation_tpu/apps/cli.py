@@ -644,6 +644,12 @@ def cmd_serve(args):
             f.write(json.dumps(line) + "\n")
         print(f"served {rid}: {len(res.songs)} songs in {res.steps} steps")
 
+    def prompt_loader(path):
+        from reinforcement_learning_in_music_generation_tpu.data import (
+            cp_tokenizer)
+        rows = cp_tokenizer.CPEncoder().encode(path)
+        return np.delete(rows, 3, axis=1)            # drop 'type'
+
     pretrain_lib._install_interrupt_handler()   # SIGTERM = clean drain
     print(f"serving from {args.requests} (batch {args.batch}); "
           f"shutdown: SIGTERM or a {{\"cmd\": \"shutdown\"}} line")
@@ -652,7 +658,7 @@ def cmd_serve(args):
         poll_s=args.poll, max_requests=args.max_requests,
         idle_timeout_s=args.idle_timeout,
         max_tokens_per_song=args.max_tokens,
-        stop_event=pretrain_lib.INTERRUPT)
+        stop_event=pretrain_lib.INTERRUPT, prompt_loader=prompt_loader)
     print(f"served {n} requests; exiting")
 
 

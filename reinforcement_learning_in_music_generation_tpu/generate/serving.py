@@ -218,18 +218,41 @@ def generate_songs_continuous(params, cfg: LinearTransformerConfig,
                        songs_done=int(songs_done))
 
 
+def _prompt_request_result(params, cfg, rng, init_rows, n_songs: int,
+                           bar_cond: int, max_tokens: int) -> ServeResult:
+    """Prompt-conditioned request: route through the production
+    prefill + bar-stop sampler (generate_songs handles prompt bucketing
+    and kernel auto-dispatch); n_songs stochastic continuations of the
+    same prompt decode as one batch."""
+    from ..config import GenerateConfig
+    from . import sampler
+    gcfg = GenerateConfig(n_songs=n_songs, bar_production=bar_cond,
+                          max_tokens=max_tokens, batch_size=n_songs)
+    songs = sampler.generate_songs(params, cfg, gcfg, rng=rng,
+                                   init=init_rows)
+    t0 = len(init_rows)
+    steps = max((len(s) - t0 for s in songs), default=0)
+    return ServeResult(songs=songs, steps=steps, songs_done=len(songs))
+
+
 def serve_requests(params, cfg: LinearTransformerConfig,
                    requests_path: str, on_result, *, batch: int = 8,
                    poll_s: float = 0.5, max_requests: Optional[int] = None,
                    idle_timeout_s: Optional[float] = None,
                    max_tokens_per_song: int = 512, base_seed: int = 0,
-                   stop_event=None) -> int:
+                   stop_event=None, prompt_loader=None) -> int:
     """Long-running request server over the continuous batcher.
 
     Tails `requests_path` (JSON lines, appended by producers):
 
         {"id": "r1", "songs": 3, "bars": 20, "seed": 7}
+        {"id": "r2", "songs": 2, "bars": 30, "prompt": "intro.mid"}
         {"cmd": "shutdown"}
+
+    Prompt requests need `prompt_loader` (maps the request's "prompt"
+    value to (T0, n_fields) int token rows — the CLI's loader
+    CP-encodes a MIDI file) and run through the prefill + bar-stop
+    sampler; unconditional requests run through the continuous batcher.
 
     and calls `on_result(request, ServeResult)` per completed request
     (the CLI's callback writes MIDIs + a responses.jsonl line).  The
@@ -284,10 +307,16 @@ def serve_requests(params, cfg: LinearTransformerConfig,
                 return served
             rng = jax.random.PRNGKey(int(req.get("seed",
                                                base_seed + served)))
-            res = generate_songs_continuous(
-                params, cfg, rng, n_songs=int(req.get("songs", 1)),
-                bar_cond=int(req.get("bars", 50)), batch=batch,
-                max_tokens_per_song=max_tokens_per_song)
+            if req.get("prompt") and prompt_loader is not None:
+                res = _prompt_request_result(
+                    params, cfg, rng, prompt_loader(req["prompt"]),
+                    int(req.get("songs", 1)), int(req.get("bars", 50)),
+                    max_tokens_per_song)
+            else:
+                res = generate_songs_continuous(
+                    params, cfg, rng, n_songs=int(req.get("songs", 1)),
+                    bar_cond=int(req.get("bars", 50)), batch=batch,
+                    max_tokens_per_song=max_tokens_per_song)
             on_result(req, res)
             served += 1
             last_work = _time.monotonic()

@@ -160,3 +160,28 @@ def test_serve_requests_tail_follow_and_shutdown(tmp_path):
         assert int((s[:, 2] == 1).sum()) == 2
     for s in results["b"].songs:
         assert int((s[:, 2] == 1).sum()) == 3
+
+
+def test_serve_requests_prompt_routing(tmp_path):
+    """A request with a prompt routes through the prefill + bar-stop
+    sampler: every returned song begins with the prompt rows and hits
+    the bar budget (prompt bars count, reference convention)."""
+    cfg = _cfg()
+    params = lt.init_params(jax.random.PRNGKey(0), cfg)
+    prompt = np.asarray([[0, 0, 1, 0, 0, 0],
+                         [1, 2, 0, 3, 1, 2],
+                         [0, 1, 2, 5, 2, 1]], np.int32)   # 1 bar token
+    reqs = tmp_path / "r.jsonl"
+    reqs.write_text('{"id": "p", "songs": 2, "bars": 3, '
+                    '"prompt": "x.mid", "seed": 4}\n')
+    got = {}
+    serving.serve_requests(params, cfg, str(reqs),
+                           lambda req, res: got.update({req["id"]: res}),
+                           batch=2, poll_s=0.1, max_requests=1,
+                           max_tokens_per_song=64,
+                           prompt_loader=lambda _: prompt)
+    res = got["p"]
+    assert len(res.songs) == 2
+    for s in res.songs:
+        np.testing.assert_array_equal(s[:3], prompt)
+        assert int((s[:, 2] == 1).sum()) == 3
