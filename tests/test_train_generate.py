@@ -157,6 +157,19 @@ def test_cli_flags_parse():
     assert a.compat_forward_returns is False
     a = p.parse_args(["my-pretrain", "--lr-milestones", "500,700"])
     assert a.lr_milestones == "500,700"
+    # round-4 surfaces
+    a = p.parse_args(["pretrain", "--pp", "2", "--tp", "2", "--dp", "2",
+                      "--zero1", "--grad-accum", "4",
+                      "--ckpt-backend", "orbax", "--save-on-interrupt"])
+    assert (a.pp, a.tp, a.dp) == (2, 2, 2)
+    assert a.zero1 and a.grad_accum == 4
+    assert a.ckpt_backend == "orbax" and a.save_on_interrupt
+    a = p.parse_args(["generate", "--continuous", "--continuous-batch", "16"])
+    assert a.continuous and a.continuous_batch == 16
+    a = p.parse_args(["serve", "--requests", "r.jsonl", "--batch", "4",
+                      "--max-requests", "2", "--idle-timeout", "3.5"])
+    assert a.requests == "r.jsonl" and a.batch == 4
+    assert a.max_requests == 2 and a.idle_timeout == 3.5
 
 
 def test_generate_fused_sampling_greedy_matches():
