@@ -218,7 +218,7 @@ def _v7_kernel(seed_ref, oh0_ref, pe_ref, memb_ref, binr_ref, whp_ref,
             ohf = oh_scr[f * b:(f + 1) * b, :].astype(memb_ref.dtype)
             acc += jnp.dot(ohf, memb_ref[f * VF_PAD:(f + 1) * VF_PAD, :],
                            preferred_element_type=jnp.float32)
-        h_scr[...] = acc + binr_ref[...] + pe_ref[...]
+        h_scr[...] = acc + binr_ref[...] + pe_ref[0, 0:1, :]
 
     # ---- one layer, decode_kernel_v4 math with resident weights ----
     h = h_scr[...]
@@ -332,6 +332,13 @@ def fused_decode_v7(v7p: V7Params, tok0T: jax.Array, s4: jax.Array,
             f"flagship size); route larger batches to the v6 persistent "
             f"or v4 per-step path (generate_songs auto-dispatch does)")
     pe_rows = jax.lax.dynamic_slice_in_dim(v7p.pe, t0, T, axis=0)  # (T, D)
+    # Mosaic requires the last two block dims divisible by (8, 128) or
+    # equal to the array dims — a (1, D) per-row block over (T, D) is
+    # rejected on real TPU (interpret mode doesn't enforce it).  Same
+    # trick as decode_kernel_v6's (T, D, 128) pe slab, batch-major: ship
+    # (T, 8, D) with the row replicated across the 8-sublane tile and a
+    # legal (1, 8, D) block per step.
+    pe_slab = jnp.broadcast_to(pe_rows[:, None, :], (T, 8, d))
     oh0 = jax.nn.one_hot(tok0T.reshape(nf * b), VF_PAD,
                          dtype=jnp.float32)                 # (NF*B, V)
 
@@ -352,7 +359,7 @@ def fused_decode_v7(v7p: V7Params, tok0T: jax.Array, s4: jax.Array,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM) if pltpu else None,  # seed
             const((nf * b, VF_PAD)),                        # oh0
-            pl.BlockSpec((1, d), lambda t, l: (t, 0)),      # pe row
+            pl.BlockSpec((1, 8, d), lambda t, l: (t, 0, 0)),  # pe slab row
             const((nf * VF_PAD, d)),                        # memb
             const((1, d)),                                  # binr
             const((d, nf * VF_PAD)),                        # whp
@@ -393,7 +400,7 @@ def fused_decode_v7(v7p: V7Params, tok0T: jax.Array, s4: jax.Array,
             dimension_semantics=("arbitrary", "arbitrary"),
             vmem_limit_bytes=110 << 20) if (pltpu and not interpret)
             else None),
-    )(jnp.asarray([seed], jnp.int32).reshape(1,), oh0, pe_rows,
+    )(jnp.asarray([seed], jnp.int32).reshape(1,), oh0, pe_slab,
       v7p.memb, v7p.binr, v7p.whp, v7p.bhp, v7p.qkvb, v7p.wob,
       v7p.ln1s, v7p.ln1b, v7p.ln2s, v7p.ln2b, v7p.f1b, v7p.f2b,
       v7p.fls, v7p.flb, v7p.qkvw, v7p.wow, v7p.f1w, v7p.f2w, s4, z4)
