@@ -80,6 +80,47 @@ def run_op(chunk: int):
     print(json.dumps(out))
 
 
+def run_optrace(chunk: int):
+    """Device trace of the op-level kernel grad — run when the op-level
+    and in-step numbers disagree (first r4 queue pass: 47 ms op-level vs
+    ~0.8 ms/layer implied in-step) to see which op actually eats the
+    time; fwd-only is traced alongside for the same shapes."""
+    import jax
+    import jax.numpy as jnp
+    import bench
+    bench._setup_cache()
+    from reinforcement_learning_in_music_generation_tpu.ops import (
+        attention_block as ab)
+    from reinforcement_learning_in_music_generation_tpu.utils import metrics
+
+    dt = jnp.bfloat16
+    h = jax.random.normal(jax.random.PRNGKey(0), (B * S, D), dt)
+    w = jax.random.normal(jax.random.PRNGKey(1), (D, 3 * D), dt) * 0.05
+    bb = jax.random.normal(jax.random.PRNGKey(2), (3 * D,), dt) * 0.05
+
+    def loss_kernel(h, w, bb):
+        o = ab.qkv_attention_block(h, w, bb, B, H, chunk=chunk)
+        return jnp.sum(o.astype(jnp.float32))
+
+    for tag, fn in (("fwd", jax.jit(loss_kernel)),
+                    ("fwdbwd", jax.jit(jax.grad(loss_kernel,
+                                                argnums=(0, 1, 2))))):
+        r = fn(h, w, bb)
+        jax.block_until_ready(r)
+        steps = 5
+        log_dir = f"/tmp/rlmg_trace_attnop_{tag}"
+        with metrics.profile_trace(log_dir):
+            for _ in range(steps):
+                r = fn(h, w, bb)
+            jax.block_until_ready(r)
+        rows = metrics.summarize_trace(log_dir, top=12, steps=steps)
+        total = sum(us for _, us, _ in rows)
+        print(f"--- op-level {tag} (chunk={chunk}) ---")
+        for kind, us, cnt in rows[:12]:
+            print(f"{us:10.0f} us/step  {cnt:7.1f} ops  {kind}")
+        print(f"{total:10.0f} us/step TOTAL")
+
+
 def main():
     for mode in ("xla", "pallas-qkv"):
         env = dict(os.environ)
@@ -100,5 +141,7 @@ if __name__ == "__main__":
         run_step(sys.argv[2])
     elif len(sys.argv) > 1 and sys.argv[1] == "op":
         run_op(int(sys.argv[2]) if len(sys.argv) > 2 else 128)
+    elif len(sys.argv) > 1 and sys.argv[1] == "optrace":
+        run_optrace(int(sys.argv[2]) if len(sys.argv) > 2 else 128)
     else:
         main()

@@ -129,11 +129,17 @@ def songs(n_songs=5, bars=50, max_tokens=4096):
     return out
 
 
-def prompt(T0=512, gen=16):
+def prompt(T0=512, gen=16, reps=10):
     """Prompt-ingestion A/B: parallel prefill (forward_prefill) vs the
     sequential decode_step scan, at B in {1, 8}.  The env knob is read at
     trace time, so the two legs clear the jit cache between runs (the
-    persistent compile cache still serves both)."""
+    persistent compile cache still serves both).
+
+    Timing protocol: `block_until_ready` can NO-OP on this platform (the
+    bench.py methodology note — the first queue log of this leg printed
+    0.3 ms for a 512-sequential-step scan), so the timed window runs
+    `reps` back-to-back calls and closes with one real host fetch; the
+    ~10-40 ms tunnel fetch is amortized across reps."""
     cfg, params = make_params()
     rows = jnp.tile(jnp.asarray(sampler.CP_SEED, jnp.int32)[None, None],
                     (8, T0, 1))
@@ -146,10 +152,16 @@ def prompt(T0=512, gen=16):
             else:
                 os.environ["RLMG_PREFILL"] = env
             jax.clear_caches()
-            el = _time(lambda s: run_path("xla", params, cfg, init, gen, s))
+            r = run_path("xla", params, cfg, init, gen, 0)
+            np.asarray(r.tokens[..., :1])          # sacrificial host fetch
+            t0 = time.time()
+            for i in range(reps):
+                r = run_path("xla", params, cfg, init, gen, i + 1)
+            np.asarray(r.tokens[..., :1])          # one real fetch
+            el = (time.time() - t0) / reps
             out[f"{mode_name}_b{b}_s"] = round(el, 4)
             print(f"prompt T0={T0} B={b} {mode_name}: {el:7.3f}s "
-                  f"(incl. {gen} sampled steps)", flush=True)
+                  f"(incl. {gen} sampled steps, {reps} reps)", flush=True)
     os.environ.pop("RLMG_PREFILL", None)
     return out
 
