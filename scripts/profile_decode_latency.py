@@ -52,14 +52,26 @@ def make_params():
     return cfg, params
 
 
-def _time(fn, n=3):
-    fn(0)
-    fn(1)                       # sacrificial (first block no-ops, memory)
+def _fetch(r):
+    np.asarray(r.tokens[..., :1])       # real host fetch (tunnel ~10-40 ms)
+
+
+def _time(fn, n=3, reps=1):
+    """`block_until_ready` NO-OPs on this platform (the bench.py
+    methodology note; the first r4 queue pass printed 2 us/step for the
+    v4 B=1 path that r3 measured at 284 us/step).  Every timed window is
+    therefore closed by ONE real host fetch of the last result; `reps`
+    back-to-back calls amortize the tunnel fetch across the window."""
+    _fetch(fn(0))
+    _fetch(fn(1))               # sacrificial (compile, memory steady-state)
     ts = []
     for i in range(2, 2 + n):
         t0 = time.time()
-        fn(i)
-        ts.append(time.time() - t0)
+        r = None
+        for k in range(reps):
+            r = fn(i * 1000 + k)
+        _fetch(r)
+        ts.append((time.time() - t0) / reps)
     return min(ts)
 
 
@@ -95,7 +107,8 @@ def rate(T=256):
         paths = (("v7", "v6", "v4", "xla") if b <= 16
                  else ("v6", "v4", "xla"))
         for path in paths:
-            el = _time(lambda s: run_path(path, params, cfg, init, T, s))
+            el = _time(lambda s: run_path(path, params, cfg, init, T, s),
+                       reps=6)
             out[f"{path}_b{b}"] = dict(us_step=round(el / T * 1e6, 1),
                                        tok_s=round(b * T / el, 1))
             print(f"B={b:4d} {path:3s}: {el/T*1e6:8.0f} us/step "
