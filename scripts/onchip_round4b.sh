@@ -15,13 +15,32 @@ OUT="${RLMG_ONCHIP_OUT:-/tmp/r4_onchip}"
 mkdir -p "$OUT"
 cd "$REPO"
 
-if ! timeout 240 python -c "
-import jax
-print('UP' if jax.default_backend() in ('tpu', 'axon') else 'CPU')
-" 2>/dev/null | grep -q UP; then
-  echo "[r4b] backend down; exiting"
-  exit 1
-fi
+# Probe must exercise the COMPUTE+FETCH path, not just device listing:
+# a wedged backend still answers jax.devices() while every real fetch
+# hangs (observed 2026-08-19 after a client was killed mid-flight).
+# Parked mode: probe every PROBE_EVERY seconds up to PARK_BUDGET total.
+PROBE_EVERY="${RLMG_PROBE_EVERY:-180}"
+PARK_BUDGET="${RLMG_PARK_BUDGET:-14400}"
+waited=0
+probe() {
+  timeout 240 python -c "
+import numpy as np, jax, jax.numpy as jnp
+assert jax.default_backend() in ('tpu', 'axon')
+x = jnp.ones((128, 128), jnp.bfloat16)
+v = np.asarray((x @ x)[..., :1])
+print('UP')
+" 2>/dev/null | grep -q UP
+}
+until probe; do
+  if [ "$waited" -ge "$PARK_BUDGET" ]; then
+    echo "[r4b] backend still down after ${waited}s; exiting"
+    exit 1
+  fi
+  echo "[r4b] backend down/wedged; re-probe in ${PROBE_EVERY}s ($(date -u +%H:%M:%S))"
+  sleep "$PROBE_EVERY"
+  waited=$((waited + PROBE_EVERY))
+done
+echo "[r4b] backend UP $(date -u +%H:%M:%S)"
 
 run_job() {
   local name="$1" tmo="$2"; shift 2
