@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from reinforcement_learning_in_music_generation_tpu import config as C
 from reinforcement_learning_in_music_generation_tpu.models import (
@@ -15,6 +16,7 @@ CFG = C.LinearTransformerConfig(
     d_model=32, n_layer=3, n_head=2, d_inner=64)
 
 
+@pytest.mark.slow
 def test_v3_matches_decode_step_interpret():
     params = lt.init_params(jax.random.PRNGKey(0), CFG)
     v3p = dk3.make_v3_params(params, CFG, dtype=jnp.float32)

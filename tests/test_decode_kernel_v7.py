@@ -64,6 +64,7 @@ def test_state_pack_round_trip():
     np.testing.assert_array_equal(np.asarray(z2), np.asarray(z))
 
 
+@pytest.mark.slow
 def test_greedy_stream_matches_xla():
     params, pe, v7p, toks, st, s4, z4 = _setup()
     tok0 = toks[:, -1]

@@ -58,6 +58,7 @@ def test_prefill_unpadded_default_n_valid():
                                rtol=2e-5, atol=2e-5)
 
 
+@pytest.mark.slow
 def test_generate_tokens_prefill_consistent(monkeypatch):
     """Stochastic generation from a long prompt: the prefill-seeded and
     scan-seeded runs draw the same tokens (f32 states differ only at
@@ -146,6 +147,7 @@ def test_generate_songs_bucketed_prompt_matches_unbucketed(monkeypatch):
         assert (g[:20] == prompt).all()
 
 
+@pytest.mark.slow
 def test_generate_tokens_fused_prefill_interpret(monkeypatch):
     """Prefill + the fused v4 per-step path (the production small-batch
     serving combination on TPU): interpret-mode tokens match the
