@@ -44,6 +44,18 @@ streams can diverge from the XLA path at near-ties, so greedy
 generation stays pinned to the bit-stable path (generate_songs); with
 f32 weights + f32 state the kernel is argmax-equivalent to the XLA scan
 (tests/test_decode_kernel_v7.py).
+
+MEASURED RESULT (r4, on-chip, fetch-closed timing — BENCH.md "Round-4
+second pass"): v7 TIES v4 at B=1 (302 vs 305 us/step) and slightly
+loses at B=8 (330 vs 300 us/step).  The premise above is FALSIFIED:
+removing the entire per-token weight stream bought ~nothing, so v4's
+small-batch step is NOT weight-traffic bound.  The shared ~300 us floor
+is the serial per-token machinery itself — v7's grid (T, L) pays
+12 sequential program launches per token (~7 us/program floor on this
+chip = ~84 us) plus B=1 matvecs that use 1/128 of the MXU's rows.  The
+kernel stays OPT-IN (latency_max_batch() defaults to 0); the next
+latency lever is collapsing L into an in-kernel fori_loop (one program
+per token) rather than weight residency.
 """
 
 from __future__ import annotations
