@@ -102,7 +102,7 @@ def use_persistent_decode(batch: Optional[int] = None) -> bool:
 
 def latency_max_batch() -> int:
     """Largest batch routed to the v7 weight-resident latency kernel
-    (ops/decode_kernel_v7): all ~79 MB of bf16 weights stay VMEM-resident
+    (ops/experimental/decode_kernel_v7): all ~79 MB of bf16 weights stay VMEM-resident
     for the whole chunk, removing the per-token weight stream that binds
     the v4 per-step path at small batch (~184 us of its 284 us/step at
     B=1, BENCH.md r3 latency table).  0 disables the path.
@@ -225,7 +225,7 @@ def _persistent_chunk_fn(cfg, n, greedy, temps, topps):
 @functools.lru_cache(maxsize=16)
 def _latency_pack_fn(cfg, dtype_str):
     from ..models import common as cm
-    from ..ops import decode_kernel_v7 as dk7
+    from ..ops.experimental import decode_kernel_v7 as dk7
 
     @jax.jit
     def pack(params):
@@ -240,7 +240,7 @@ def _latency_seed_fn(cfg, dtype_str, state_dtype_str):
     """Teacher-forced seeding through the XLA recurrent path + packing
     into the v4/v7 head-pair state layout."""
     from ..models import common as cm
-    from ..ops import decode_kernel_v7 as dk7
+    from ..ops.experimental import decode_kernel_v7 as dk7
     dtype = jnp.dtype(dtype_str)
     sdt = jnp.dtype(state_dtype_str)
 
@@ -257,7 +257,7 @@ def _latency_seed_fn(cfg, dtype_str, state_dtype_str):
 
 @functools.lru_cache(maxsize=32)
 def _latency_chunk_fn(cfg, n, greedy, temps, topps):
-    from ..ops import decode_kernel_v7 as dk7
+    from ..ops.experimental import decode_kernel_v7 as dk7
 
     @jax.jit
     def chunk(v7p, tokT, s4, z4, seed, t_start):
@@ -337,7 +337,7 @@ def generate_tokens_latency(params, cfg: LinearTransformerConfig,
                             tuple(smp.CP_SAMPLING),
                             chunk: Optional[int] = None) -> GenResult:
     """generate_tokens via the v7 weight-resident latency kernel
-    (ops/decode_kernel_v7): same chunked structure as the v6 persistent
+    (ops/experimental/decode_kernel_v7): same chunked structure as the v6 persistent
     path, but all weights stay VMEM-resident across the chunk, so the
     per-token HBM traffic is one pe row in and one token row out —
     built for the reference's actual serving scenario (one song at a
@@ -579,7 +579,7 @@ def generate_tokens(params, cfg: LinearTransformerConfig, rng: jax.Array,
                                         pe_table=pe)
         h = hp.astype(dtype)
         if fused:   # v4 pair layout (even n_head guaranteed above)
-            from ..ops.decode_kernel_v7 import pack_state_pair
+            from ..ops.experimental.decode_kernel_v7 import pack_state_pair
             sdt = state.s.dtype
             s4, z4 = pack_state_pair(dstate.s.astype(sdt),
                                      dstate.z.astype(sdt))

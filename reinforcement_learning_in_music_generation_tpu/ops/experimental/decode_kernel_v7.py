@@ -73,10 +73,10 @@ try:  # pallas TPU backend is unavailable on CPU-only hosts
 except Exception:  # pragma: no cover
     pltpu = None
 
-from .decode_kernel_v3 import _gelu_exact, _ln, _phi
-from .decode_common import NEG, VF_PAD, gumbel_from_bits
-from .decode_kernel_v4 import make_v4_params
-from .linear_attention import DEFAULT_EPS
+from ..decode_kernel_v3 import _gelu_exact, _ln, _phi
+from ..decode_common import NEG, VF_PAD, gumbel_from_bits
+from ..decode_kernel_v4 import make_v4_params
+from ..linear_attention import DEFAULT_EPS
 
 
 class V7Params(NamedTuple):
@@ -104,7 +104,7 @@ class V7Params(NamedTuple):
 
 def make_v7_params(params: dict, cfg, pe_table, dtype=jnp.bfloat16
                    ) -> V7Params:
-    from ..models import common as cm
+    from ...models import common as cm
     f32 = jnp.float32
     v4p = make_v4_params(params, cfg, dtype=dtype)
 

@@ -1,4 +1,4 @@
-"""v7 weight-resident latency decode kernel (ops/decode_kernel_v7).
+"""v7 weight-resident latency decode kernel (ops/experimental/decode_kernel_v7).
 
 Interpret-mode (TPU-interpret on CPU) parity vs the XLA recurrent path:
 with f32 weights + f32 state the kernel is argmax-equivalent to
@@ -16,7 +16,7 @@ from jax.experimental.pallas import tpu as pltpu
 from reinforcement_learning_in_music_generation_tpu import config as C
 from reinforcement_learning_in_music_generation_tpu.models import (
     common as cm, linear_transformer as lt)
-from reinforcement_learning_in_music_generation_tpu.ops import (
+from reinforcement_learning_in_music_generation_tpu.ops.experimental import (
     decode_kernel_v7 as dk7)
 
 CFG = C.LinearTransformerConfig(

@@ -39,8 +39,9 @@ from reinforcement_learning_in_music_generation_tpu import config as C
 from reinforcement_learning_in_music_generation_tpu.generate import sampler
 from reinforcement_learning_in_music_generation_tpu.models import (
     common as cm, linear_transformer as lt)
-from reinforcement_learning_in_music_generation_tpu.ops import (
-    decode_kernel_v7 as dk7, sampling as smp)
+from reinforcement_learning_in_music_generation_tpu.ops import sampling as smp
+from reinforcement_learning_in_music_generation_tpu.ops.experimental import (
+    decode_kernel_v7 as dk7)
 
 out = {"backend": jax.default_backend()}
 cfg = C.agent_config()
