@@ -61,15 +61,20 @@ def _time(fn, n=3, reps=1):
     methodology note; the first r4 queue pass printed 2 us/step for the
     v4 B=1 path that r3 measured at 284 us/step).  Every timed window is
     therefore closed by ONE real host fetch of the last result; `reps`
-    back-to-back calls amortize the tunnel fetch across the window."""
+    back-to-back calls amortize the tunnel fetch across the window.
+
+    Each rep's seed folds a zeroed token from the previous rep's output
+    (ADVICE r4 #2): the closing fetch then transitively forces every rep
+    — a lazy execution model cannot elide reps 0..reps-2."""
     _fetch(fn(0))
     _fetch(fn(1))               # sacrificial (compile, memory steady-state)
     ts = []
     for i in range(2, 2 + n):
         t0 = time.time()
-        r = None
-        for k in range(reps):
-            r = fn(i * 1000 + k)
+        r = fn(i * 1000)
+        for k in range(1, reps):
+            dep = (r.tokens.reshape(-1)[0] & 0).astype(jnp.int32)
+            r = fn(i * 1000 + k + dep)
         _fetch(r)
         ts.append((time.time() - t0) / reps)
     return min(ts)
@@ -168,8 +173,12 @@ def prompt(T0=512, gen=16, reps=10):
             r = run_path("xla", params, cfg, init, gen, 0)
             np.asarray(r.tokens[..., :1])          # sacrificial host fetch
             t0 = time.time()
-            for i in range(reps):
-                r = run_path("xla", params, cfg, init, gen, i + 1)
+            r = run_path("xla", params, cfg, init, gen, 1)
+            for i in range(1, reps):
+                # seed depends on the previous rep's output so the closing
+                # fetch forces every rep (ADVICE r4 #2)
+                dep = (r.tokens.reshape(-1)[0] & 0).astype(jnp.int32)
+                r = run_path("xla", params, cfg, init, gen, i + 1 + dep)
             np.asarray(r.tokens[..., :1])          # one real fetch
             el = (time.time() - t0) / reps
             out[f"{mode_name}_b{b}_s"] = round(el, 4)

@@ -48,6 +48,32 @@ def test_v3_matches_decode_step_interpret():
                                rtol=1e-4, atol=1e-5)
 
 
+def test_v3_small_parity_fast():
+    """Tiny always-on v3 parity (ADVICE r4 #1): decode_step_v3 is the live
+    fused fallback when n_head is odd (sampler.generate_tokens dispatch),
+    so the default suite must keep SOME coverage of it; the full-shape
+    rollout + state-parity check stays in the slow test above."""
+    cfg = C.LinearTransformerConfig(
+        vocab_sizes=(8, 8, 8, 8, 8, 8), emb_sizes=(8,) * 6,
+        d_model=32, n_layer=1, n_head=2, d_inner=32)
+    params = lt.init_params(jax.random.PRNGKey(0), cfg)
+    v3p = dk3.make_v3_params(params, cfg, dtype=jnp.float32)
+    b = 2
+    rng = np.random.default_rng(3)
+    toks = rng.integers(0, 8, size=(2, b, 6)).astype(np.int32)
+
+    state_ref = lt.init_decode_state(cfg, b)
+    s_aug = dk3.init_aug_state(cfg, b)
+    state_v3 = lt.DecodeState(s_aug, state_ref.z, state_ref.step)
+    for t in range(toks.shape[0]):
+        tok = jnp.asarray(toks[t])
+        h_ref, state_ref = lt.decode_step(params, cfg, tok, state_ref)
+        h_v3, state_v3 = dk3.decode_step_v3(params, v3p, cfg, tok, state_v3,
+                                            interpret=True)
+        np.testing.assert_allclose(np.asarray(h_v3), np.asarray(h_ref),
+                                   rtol=2e-4, atol=2e-5)
+
+
 def test_v4_matches_decode_step_interpret():
     from reinforcement_learning_in_music_generation_tpu.ops import (
         decode_kernel_v4 as dk4)
