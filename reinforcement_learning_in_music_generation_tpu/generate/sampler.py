@@ -225,22 +225,22 @@ def _persistent_chunk_fn(cfg, n, greedy, temps, topps):
 @functools.lru_cache(maxsize=16)
 def _latency_pack_fn(cfg, dtype_str):
     from ..models import common as cm
-    from ..ops.experimental import decode_kernel_v7 as dk7
+    from ..ops import decode_kernel_v8 as dk8
 
     @jax.jit
     def pack(params):
         pe = cm.sinusoidal_table(cfg.max_len, cfg.d_model, jnp.float32)
-        return dk7.make_v7_params(params, cfg, pe,
-                                  dtype=jnp.dtype(dtype_str))
+        return dk8.make_resident_params(params, cfg, pe,
+                                        dtype=jnp.dtype(dtype_str))
     return pack
 
 
 @functools.lru_cache(maxsize=16)
 def _latency_seed_fn(cfg, dtype_str, state_dtype_str):
     """Teacher-forced seeding through the XLA recurrent path + packing
-    into the v4/v7 head-pair state layout."""
+    into the v4/v7/v8 head-pair state layout."""
     from ..models import common as cm
-    from ..ops.experimental import decode_kernel_v7 as dk7
+    from ..ops import decode_kernel_v8 as dk8
     dtype = jnp.dtype(dtype_str)
     sdt = jnp.dtype(state_dtype_str)
 
@@ -249,23 +249,39 @@ def _latency_seed_fn(cfg, dtype_str, state_dtype_str):
         pe = cm.sinusoidal_table(cfg.max_len, cfg.d_model, dtype)
         st = _seed_state(params, cfg, init_tokens, state, pe, dtype,
                          n_valid)
-        s4, z4 = dk7.pack_state_pair(st.s.astype(jnp.float32).astype(sdt),
+        s4, z4 = dk8.pack_state_pair(st.s.astype(jnp.float32).astype(sdt),
                                      st.z.astype(jnp.float32).astype(sdt))
         return st, s4, z4
     return seed
 
 
 @functools.lru_cache(maxsize=32)
-def _latency_chunk_fn(cfg, n, greedy, temps, topps):
-    from ..ops.experimental import decode_kernel_v7 as dk7
+def _latency_chunk_fn(cfg, n, greedy, temps, topps, version="v8"):
+    if version == "v7":
+        from ..ops.experimental import decode_kernel_v7 as dk
+        fused = dk.fused_decode_v7
+    else:
+        from ..ops import decode_kernel_v8 as dk
+        fused = dk.fused_decode_v8
 
     @jax.jit
-    def chunk(v7p, tokT, s4, z4, seed, t_start):
-        return dk7.fused_decode_v7(
-            v7p, tokT, s4, z4, t_start, seed, n_head=cfg.n_head,
+    def chunk(rp, tokT, s4, z4, seed, t_start):
+        return fused(
+            rp, tokT, s4, z4, t_start, seed, n_head=cfg.n_head,
             max_tokens=n, vocab_sizes=cfg.vocab_sizes, temps=temps,
             topps=topps, greedy=greedy, eps=cfg.attn_eps)
     return chunk
+
+
+def latency_kernel_version() -> str:
+    """Which latency-family kernel the latency path dispatches to:
+    "v8" (one grid program per token, in-kernel layer fori_loop — the
+    fix for v7's measured 12-launches/token floor) or "v7" (experimental,
+    grid (T, L), kept for A/Bs).  RLMG_LATENCY_KERNEL overrides."""
+    v = os.environ.get("RLMG_LATENCY_KERNEL", "v8")
+    if v not in ("v7", "v8"):
+        raise ValueError(f"RLMG_LATENCY_KERNEL must be v7 or v8, got {v!r}")
+    return v
 
 
 _PACKED_CACHE: "collections.OrderedDict" = collections.OrderedDict()
@@ -279,7 +295,9 @@ def _packed_decode_params(params, cfg, dtype, backend: str):
     a measurable slice of the v6 integration overhead (BENCH.md r3).
     Keyed on object identity with a strong ref, so the id cannot be
     recycled while cached; LRU eviction (VERDICT r3 weak #6)."""
-    key = (id(params), cfg, str(dtype), backend)
+    # v7/v8 share the resident pair-packed layout — one packing serves both
+    fam = "latency" if backend in ("v7", "v8") else backend
+    key = (id(params), cfg, str(dtype), fam)
     hit = _PACKED_CACHE.get(key)
     if hit is not None and hit[0] is params:
         _PACKED_CACHE.move_to_end(key)
@@ -336,15 +354,19 @@ def generate_tokens_latency(params, cfg: LinearTransformerConfig,
                             settings: Tuple[smp.FieldSampling, ...] =
                             tuple(smp.CP_SAMPLING),
                             chunk: Optional[int] = None) -> GenResult:
-    """generate_tokens via the v7 weight-resident latency kernel
-    (ops/experimental/decode_kernel_v7): same chunked structure as the v6 persistent
-    path, but all weights stay VMEM-resident across the chunk, so the
-    per-token HBM traffic is one pe row in and one token row out —
-    built for the reference's actual serving scenario (one song at a
-    time, dqn_policy/testing-no-type-cp.py:182-224).  Batch pads to a
-    multiple of 8 (sublane tile); intended for B <= latency_max_batch()."""
+    """generate_tokens via the latency-family kernels: v8
+    (ops/decode_kernel_v8, default — ONE grid program per token with an
+    in-kernel fori_loop over layer slabs, the fix for v7's measured
+    12-launches/token floor) or v7 (ops/experimental/decode_kernel_v7,
+    grid (T, L), kept for A/Bs; RLMG_LATENCY_KERNEL selects).  Both keep
+    all weights + state VMEM-resident across the chunk, so per-token HBM
+    traffic is one pe row in and one token row out — built for the
+    reference's actual serving scenario (one song at a time,
+    dqn_policy/testing-no-type-cp.py:182-224).  Batch pads to a multiple
+    of 8 (sublane tile); intended for B <= latency_max_batch()."""
     return _generate_tokens_chunked(
-        "v7", params, cfg, rng, init_tokens, max_tokens=max_tokens,
+        latency_kernel_version(), params, cfg, rng, init_tokens,
+        max_tokens=max_tokens,
         bar_cond=bar_cond, token_count=token_count,
         barbeat_field=barbeat_field, bar_token_id=bar_token_id,
         greedy=greedy, settings=settings, chunk=chunk)
@@ -406,12 +428,15 @@ def _generate_tokens_chunked(backend: str, params, cfg, rng, init_tokens, *,
     # seed0 + done_t can never overflow int32.
     seed0 = (jax.random.randint(rng, (), 0, 2 ** 31 - 1)
              & 0x3FFFFFFF).astype(jnp.int32)
-    chunk_cache = (_persistent_chunk_fn if backend == "v6"
-                   else _latency_chunk_fn)
-
-    def chunk_fn(tokT, s6, z6, seed, t_start, n):
-        return chunk_cache(cfg, n, greedy, temps, topps)(
-            packed, tokT, s6, z6, seed, t_start)
+    if backend == "v6":
+        def chunk_fn(tokT, s6, z6, seed, t_start, n):
+            return _persistent_chunk_fn(cfg, n, greedy, temps, topps)(
+                packed, tokT, s6, z6, seed, t_start)
+    else:
+        def chunk_fn(tokT, s6, z6, seed, t_start, n):
+            return _latency_chunk_fn(cfg, n, greedy, temps, topps,
+                                     backend)(
+                packed, tokT, s6, z6, seed, t_start)
     s6, z6 = s_p, z_p
 
     init_bars = jnp.sum(init_tokens[..., barbeat_field] == bar_token_id,
@@ -579,7 +604,7 @@ def generate_tokens(params, cfg: LinearTransformerConfig, rng: jax.Array,
                                         pe_table=pe)
         h = hp.astype(dtype)
         if fused:   # v4 pair layout (even n_head guaranteed above)
-            from ..ops.experimental.decode_kernel_v7 import pack_state_pair
+            from ..ops.decode_kernel_v8 import pack_state_pair
             sdt = state.s.dtype
             s4, z4 = pack_state_pair(dstate.s.astype(sdt),
                                      dstate.z.astype(sdt))

@@ -75,124 +75,16 @@ except Exception:  # pragma: no cover
 
 from ..decode_kernel_v3 import _gelu_exact, _ln, _phi
 from ..decode_common import NEG, VF_PAD, gumbel_from_bits
-from ..decode_kernel_v4 import make_v4_params
 from ..linear_attention import DEFAULT_EPS
+# shared resident-layout packing + sampling helpers live in the
+# production v8 module (ops/decode_kernel_v8) since r5; v7 keeps its
+# public names as aliases
+from ..decode_kernel_v8 import (
+    ResidentParams, make_resident_params, pack_state_pair,
+    unpack_state_pair, _argmax_first_lane, _nucleus_keep_lane, _field_col)
 
-
-class V7Params(NamedTuple):
-    qkvw: jax.Array   # (L, P, D, 6E) wdtype, cols [q0|q1|k0|k1|v0|v1]
-    qkvb: jax.Array   # (L, P, 1, 6E) f32
-    wow: jax.Array    # (L, P, 2E, D) wdtype
-    wob: jax.Array    # (L, 1, D) f32
-    ln1s: jax.Array   # (L, 1, D) f32
-    ln1b: jax.Array
-    ln2s: jax.Array
-    ln2b: jax.Array
-    f1w: jax.Array    # (L, D, DI) wdtype
-    f1b: jax.Array    # (L, 1, DI) f32
-    f2w: jax.Array    # (L, DI, D) wdtype
-    f2b: jax.Array    # (L, 1, D) f32
-    memb: jax.Array   # (NF*VF_PAD, D) wdtype: row f*VF_PAD+v =
-    #                 #   emb_f[v]*sqrt(de_f) @ in_linear[off_f:off_f+de_f]
-    binr: jax.Array   # (1, D) f32 in_linear bias
-    whp: jax.Array    # (D, NF*VF_PAD) wdtype head weights, field-strided
-    bhp: jax.Array    # (NF, VF_PAD) f32 head biases, NEG at padding
-    fls: jax.Array    # (1, D) f32 final-LN scale
-    flb: jax.Array    # (1, D) f32
-    pe: jax.Array     # (max_len, D) f32 sinusoidal rows
-
-
-def make_v7_params(params: dict, cfg, pe_table, dtype=jnp.bfloat16
-                   ) -> V7Params:
-    from ...models import common as cm
-    f32 = jnp.float32
-    v4p = make_v4_params(params, cfg, dtype=dtype)
-
-    names = cm.field_names(cfg.n_fields)
-    d = cfg.d_model
-    win = params["in_linear"]["w"].astype(f32)
-    memb = jnp.zeros((cfg.n_fields * VF_PAD, d), f32)
-    off = 0
-    for f, (n, de) in enumerate(zip(names, cfg.emb_sizes)):
-        tbl = params["emb"][n].astype(f32) * math.sqrt(de)
-        memb = memb.at[f * VF_PAD:f * VF_PAD + tbl.shape[0]].set(
-            tbl @ win[off:off + de])
-        off += de
-
-    whp = jnp.zeros((d, cfg.n_fields * VF_PAD), f32)
-    bhp = jnp.full((cfg.n_fields, VF_PAD), NEG, f32)
-    for f, (n, v) in enumerate(zip(names, cfg.vocab_sizes)):
-        whp = whp.at[:, f * VF_PAD:f * VF_PAD + v].set(
-            params["heads"][n]["w"].astype(f32))
-        bhp = bhp.at[f, :v].set(params["heads"][n]["b"].astype(f32))
-
-    return V7Params(
-        qkvw=v4p["qkvw"], qkvb=v4p["qkvb"], wow=v4p["wow"], wob=v4p["wob"],
-        ln1s=v4p["ln1s"], ln1b=v4p["ln1b"],
-        ln2s=v4p["ln2s"], ln2b=v4p["ln2b"],
-        f1w=v4p["f1w"], f1b=v4p["f1b"], f2w=v4p["f2w"], f2b=v4p["f2b"],
-        memb=memb.astype(dtype),
-        binr=params["in_linear"]["b"].astype(f32)[None, :],
-        whp=whp.astype(dtype), bhp=bhp,
-        fls=params["final_ln"]["scale"].astype(f32)[None, :],
-        flb=params["final_ln"]["bias"].astype(f32)[None, :],
-        pe=pe_table.astype(f32))
-
-
-def pack_state_pair(s: jax.Array, z: jax.Array):
-    """DecodeState (L,B,H,E,E),(L,B,H,E) -> v4 pair layout
-    (L,P,B,E,2E),(L,P,B,2E) with lanes [head 2p | head 2p+1]."""
-    L, b, h, e, _ = s.shape
-    P = h // 2
-    s4 = (s.transpose(0, 2, 1, 3, 4).reshape(L, P, 2, b, e, e)
-          .transpose(0, 1, 3, 4, 2, 5).reshape(L, P, b, e, 2 * e))
-    z4 = (z.transpose(0, 2, 1, 3).reshape(L, P, 2, b, e)
-          .transpose(0, 1, 3, 2, 4).reshape(L, P, b, 2 * e))
-    return s4, z4
-
-
-def unpack_state_pair(s4: jax.Array, z4: jax.Array):
-    L, P, b, e, _ = s4.shape
-    s = (s4.reshape(L, P, b, e, 2, e).transpose(0, 1, 4, 2, 3, 5)
-         .reshape(L, P * 2, b, e, e).transpose(0, 2, 1, 3, 4))
-    z = (z4.reshape(L, P, b, 2, e).transpose(0, 1, 3, 2, 4)
-         .reshape(L, P * 2, b, e).transpose(0, 2, 1, 3))
-    return s, z
-
-
-def _argmax_first_lane(x: jax.Array) -> jax.Array:
-    """First-maximal index over the lane axis of (R, V) -> (R, 1) int32."""
-    m = jnp.max(x, axis=1, keepdims=True)
-    v = x.shape[1]
-    iota = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
-    return jnp.min(jnp.where(x == m, iota, v), axis=1, keepdims=True)
-
-
-def _nucleus_keep_lane(p: jax.Array, top_p: jax.Array, iters: int = 24
-                       ) -> jax.Array:
-    """Sort-free nucleus keep-mask over the lane axis of (R, V); same
-    bisection as decode_kernel_v6.nucleus_keep_sub."""
-    lo = jnp.zeros_like(p[:, :1])
-    hi = jnp.ones_like(p[:, :1])
-
-    def body(_, lohi):
-        lo, hi = lohi
-        mid = 0.5 * (lo + hi)
-        mass = jnp.sum(jnp.where(p > mid, p, 0.0), axis=1, keepdims=True)
-        pred = mass > top_p
-        return jnp.where(pred, mid, lo), jnp.where(pred, hi, mid)
-
-    lo, hi = jax.lax.fori_loop(0, iters, body, (lo, hi))
-    return p > lo
-
-
-def _field_col(nf: int, b: int, values) -> jax.Array:
-    """(NF*B, 1) f32 column holding values[f] on rows f*B..(f+1)*B-1."""
-    frow = jax.lax.broadcasted_iota(jnp.int32, (nf * b, 1), 0) // b
-    out = jnp.zeros((nf * b, 1), jnp.float32)
-    for f in range(nf):
-        out = jnp.where(frow == f, jnp.float32(values[f]), out)
-    return out
+V7Params = ResidentParams
+make_v7_params = make_resident_params
 
 
 def _v7_kernel(seed_ref, oh0_ref, pe_ref, memb_ref, binr_ref, whp_ref,

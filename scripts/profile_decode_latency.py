@@ -86,7 +86,8 @@ def run_path(path, params, cfg, init, T, seed, bar_cond=None, chunk=128):
     if path == "v6":
         r = sampler.generate_tokens_persistent(
             params, cfg, jax.random.PRNGKey(seed), init, chunk=chunk, **kw)
-    elif path == "v7":
+    elif path in ("v7", "v8"):
+        os.environ["RLMG_LATENCY_KERNEL"] = path
         r = sampler.generate_tokens_latency(
             params, cfg, jax.random.PRNGKey(seed), init, chunk=chunk, **kw)
     elif path == "v4":
@@ -109,7 +110,7 @@ def rate(T=256):
                         (b, 1, 1))
         # v7 keeps ALL weights + state VMEM-resident, so it only exists
         # for B small enough to fit (B<=16 at the flagship size).
-        paths = (("v7", "v6", "v4", "xla") if b <= 16
+        paths = (("v8", "v7", "v6", "v4", "xla") if b <= 16
                  else ("v6", "v4", "xla"))
         for path in paths:
             el = _time(lambda s: run_path(path, params, cfg, init, T, s),
@@ -125,7 +126,7 @@ def songs(n_songs=5, bars=50, max_tokens=4096):
     """The reference scenario: 5 songs, 50 bars each."""
     cfg, params = make_params()
     out = {}
-    for path in ("v7", "v6", "v4", "xla"):
+    for path in ("v8", "v7", "v6", "v4", "xla"):
         # batched: all 5 songs in one call
         init = jnp.tile(jnp.asarray(sampler.CP_SEED, jnp.int32)[None, None],
                         (n_songs, 1, 1))
