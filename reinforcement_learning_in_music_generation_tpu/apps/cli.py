@@ -253,7 +253,8 @@ def cmd_discrim_pretrain(args):
     params = lf.init_params(jax.random.PRNGKey(args.seed), mcfg)
     pcfg = C.PretrainConfig(n_epoch=args.epochs, batch_size=args.batch_size,
                             lr=args.lr, ckpt_dir=args.ckpt_dir,
-                            exp_dir=args.exp_dir, seed=args.seed)
+                            exp_dir=args.exp_dir, seed=args.seed,
+                            grad_accum=getattr(args, "grad_accum", 1))
     pretrain_lib.pretrain(params, mcfg, x, y, mask, pcfg,
                           step_fn=longformer_lm_step, max_steps=args.max_steps)
 
@@ -773,6 +774,9 @@ def build_parser() -> argparse.ArgumentParser:
     d = sub.add_parser("discrim-pretrain", help="longformer LM pretrain")
     train_common(d)
     d.add_argument("--with-type", action="store_true")
+    d.add_argument("--grad-accum", type=int, default=1,
+                   help="micro-batches per optimizer step (gradient "
+                        "accumulation; effective batch = batch-size x N)")
     d.set_defaults(fn=cmd_discrim_pretrain)
 
     d = sub.add_parser("my-pretrain", help="actor/reward pretrain (ppo side)")

@@ -314,3 +314,30 @@ def pipeline_train_step(params, opt_state, cfg: LinearTransformerConfig, tx,
     updates, opt_state = tx.update(grads, opt_state, params)
     params = optax.apply_updates(params, updates)
     return params, opt_state, (loss, losses)
+
+
+def pipeline_grad_step(params, cfg: LinearTransformerConfig, x, y, mask,
+                       rng, mesh: Mesh,
+                       n_microbatch: Optional[int] = None,
+                       scale: float = 1.0
+                       ) -> Tuple[dict, Tuple[jax.Array, jax.Array]]:
+    """Gradients + loss through the pipelined forward, no optimizer — the
+    micro-batch unit of gradient accumulation on a pipeline mesh
+    (VERDICT r4 #3: pp and grad-accum must compose).  The pipeline is
+    already microbatched internally, so accumulation costs only the grad
+    buffer: each call streams its batch through the same GPipe schedule
+    and the host sums the 1/K-pre-scaled grads (train/pretrain.py).  Not
+    jitted here — callers jit with static (cfg, mesh, n_microbatch,
+    scale)."""
+    def loss_fn(p):
+        if cfg.dtype != "float32":
+            p = jax.tree_util.tree_map(lambda a: a.astype(cfg.dtype), p)
+        losses = pipeline_train_losses(p, cfg, x, y, mask, mesh,
+                                       n_microbatch=n_microbatch,
+                                       deterministic=False, rng=rng)
+        return jnp.mean(losses), losses
+
+    (loss, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+    if scale != 1.0:
+        grads = jax.tree_util.tree_map(lambda g: g * scale, grads)
+    return grads, (loss, losses)

@@ -103,6 +103,19 @@ def agent_pp_train_step(params, opt_state, cfg: LinearTransformerConfig, tx,
                                mesh, n_microbatch)
 
 
+@functools.partial(jax.jit,
+                   static_argnames=("cfg", "mesh", "n_microbatch", "scale"))
+def agent_pp_grad_step(params, cfg: LinearTransformerConfig, x, y, mask,
+                       rng, mesh=None, n_microbatch=None,
+                       scale: float = 1.0):
+    """Gradient-accumulation micro-step on a pipeline mesh: grads + loss
+    through the GPipe schedule, no optimizer (parallel/pipeline.py:
+    pipeline_grad_step)."""
+    from ..parallel.pipeline import pipeline_grad_step
+    return pipeline_grad_step(params, cfg, x, y, mask, rng, mesh,
+                              n_microbatch, scale)
+
+
 @functools.partial(jax.jit, static_argnames=("cfg", "tx"))
 def longformer_lm_step(params, opt_state, cfg: WindowTransformerConfig, tx,
                        x, y, mask, rng):
@@ -120,6 +133,26 @@ def longformer_lm_step(params, opt_state, cfg: WindowTransformerConfig, tx,
     import optax
     params = optax.apply_updates(params, updates)
     return params, opt_state, (loss, losses)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "scale"))
+def longformer_grad_step(params, cfg: WindowTransformerConfig, x, y, mask,
+                         rng, scale: float = 1.0):
+    """Gradient-accumulation micro-step for the discriminator LM
+    (longformer_lm_step without the optimizer; VERDICT r4 #3 — the accum
+    path must cover non-agent step fns)."""
+    from ..ops.losses import fields_cross_entropy
+
+    def loss_fn(p):
+        logits = lf.token_logits(p, cfg, x, mask, deterministic=False,
+                                 rng=rng)
+        losses = fields_cross_entropy(logits, y, mask)
+        return jnp.mean(losses), losses
+
+    (loss, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+    if scale != 1.0:
+        grads = jax.tree_util.tree_map(lambda g: g * scale, grads)
+    return grads, (loss, losses)
 
 
 # ---------------------------------------------------------------------------
@@ -212,6 +245,7 @@ def pretrain(params, cfg, train_x, train_y, train_mask,
     saver.add_summary_msg(
         f" > params amount: {lt.n_params(params):,d}")
 
+    orig_step_fn = step_fn
     if mesh is not None and "pp" in mesh.shape:
         # ('dp','pp'[,'tp']) pipeline mesh: layer slabs over pp (ppermute
         # microbatch pipeline), rows over dp; a 'tp' axis Megatron-shards
@@ -232,15 +266,28 @@ def pretrain(params, cfg, train_x, train_y, train_mask,
         # sharded per batch shard.
         step_fn = functools.partial(step_fn, dp_mesh=mesh)
 
-    if accum > 1 and mesh is not None and "pp" in mesh.shape:
-        raise ValueError("grad_accum with a pipeline mesh is not "
-                         "implemented (the accumulation path uses the "
-                         "standard forward); use a ('dp','tp') mesh")
-    if accum > 1 and step_fn is not agent_train_step:
-        raise ValueError("grad_accum only supports the LinearTransformer "
-                         "agent path (agent_grad_step hard-codes "
-                         "lt.train_losses); the longformer/custom step_fn "
-                         "paths need their own grad step")
+    # gradient accumulation: pick the micro-grad step matching the step
+    # fn (VERDICT r4 #3 — accum composes with pp meshes and the
+    # longformer LM; only truly custom step_fns are out of scope).
+    # All grad steps share the signature (params, cfg, x, y, mask, rng,
+    # scale=1/K) with mesh knobs partial'ed in.
+    grad_step = None
+    if accum > 1:
+        if mesh is not None and "pp" in mesh.shape:
+            if orig_step_fn is not agent_train_step:
+                raise ValueError("grad_accum on a pipeline mesh only "
+                                 "supports the LinearTransformer agent "
+                                 "path")
+            grad_step = functools.partial(agent_pp_grad_step, mesh=mesh)
+        elif orig_step_fn is agent_train_step:
+            grad_step = functools.partial(agent_grad_step, dp_mesh=mesh)
+        elif orig_step_fn is longformer_lm_step:
+            grad_step = longformer_grad_step
+        else:
+            raise ValueError("grad_accum needs a known step_fn "
+                             "(agent_train_step / longformer_lm_step / "
+                             "agent pp path); custom step_fns must apply "
+                             "their own accumulation")
     if pcfg.save_on_interrupt:
         _install_interrupt_handler()
         INTERRUPT.clear()
@@ -272,11 +319,8 @@ def pretrain(params, cfg, train_x, train_y, train_mask,
                 # the axon compiler (BENCH.md platform findings).  The
                 # window carries across epoch boundaries (streaming
                 # semantics; no partial-window bias at epoch end).
-                grads, (loss, losses) = agent_grad_step(
-                    params, cfg, bx, by, bm, step_rng,
-                    dp_mesh=(mesh if mesh is not None
-                             and "pp" not in mesh.shape else None),
-                    scale=1.0 / accum)
+                grads, (loss, losses) = grad_step(
+                    params, cfg, bx, by, bm, step_rng, scale=1.0 / accum)
                 grads_acc = (grads if grads_acc is None
                              else _tree_add(grads_acc, grads))
                 micro += 1

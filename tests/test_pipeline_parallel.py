@@ -199,3 +199,66 @@ def test_pipeline_tp_rejects_bad_divisibility():
     x, _, _ = _batch(cfg, b=6)
     with pytest.raises(ValueError, match="must divide n_head"):
         pl.pipeline_forward_hidden(params, cfg, x, mesh, n_microbatch=2)
+
+
+@pytest.mark.slow
+def test_pretrain_pp_grad_accum_matches_big_batch(tmp_path):
+    """VERDICT r4 #3: grad-accum composes with pipeline meshes.  K=2
+    accumulation of half-batches through the pp grad step must follow the
+    unaccumulated big-batch trajectory exactly (dropout=0, 1/K-pre-scaled
+    micro-grads sum to the big-batch mean gradient)."""
+    import reinforcement_learning_in_music_generation_tpu.train.pretrain as pt
+    from reinforcement_learning_in_music_generation_tpu.data import dataset
+
+    cfg = C.LinearTransformerConfig(
+        vocab_sizes=(8,) * 6, emb_sizes=(8,) * 6, d_model=32, n_layer=2,
+        n_head=2, d_inner=64, dropout=0.0)
+    x, y, mask = dataset.synthetic_cp_dataset(8, 32, n_class=cfg.vocab_sizes)
+    # full masks: the accumulation contract is exact for equal mask sums
+    # (micro-batches normalize CE by their OWN mask sums — agent_grad_step
+    # docstring); ragged masks drift ~5e-4 by reweighting, by design
+    mask = jnp.ones_like(mask)
+    params = lt.init_params(jax.random.PRNGKey(0), cfg)
+
+    mesh = pl.make_pp_mesh(pp=2, dp=1)
+    pcfg_ref = C.PretrainConfig(n_epoch=2, batch_size=4, lr=1e-3,
+                                ckpt_dir=str(tmp_path / "c1"),
+                                exp_dir=str(tmp_path / "e1"))
+    _, _, hist_ref = pt.pretrain(params, cfg, x, y, mask, pcfg_ref,
+                                 mesh=mesh)
+
+    pcfg_acc = C.PretrainConfig(n_epoch=2, batch_size=2, grad_accum=2,
+                                lr=1e-3, ckpt_dir=str(tmp_path / "c2"),
+                                exp_dir=str(tmp_path / "e2"))
+    _, _, hist_acc = pt.pretrain(params, cfg, x, y, mask, pcfg_acc,
+                                 mesh=mesh)
+    np.testing.assert_allclose(hist_acc, hist_ref, rtol=1e-4, atol=1e-5)
+
+
+def test_pp_grad_step_matches_full_batch_grads():
+    """pipeline_grad_step micro-grads (1/K-scaled) sum to the big-batch
+    pipeline gradient (fast sliver of the slow trajectory test above)."""
+    import reinforcement_learning_in_music_generation_tpu.train.pretrain as pt
+
+    cfg = C.LinearTransformerConfig(
+        vocab_sizes=(8,) * 6, emb_sizes=(8,) * 6, d_model=32, n_layer=2,
+        n_head=2, d_inner=64, dropout=0.0)
+    params = lt.init_params(jax.random.PRNGKey(0), cfg)
+    mesh = pl.make_pp_mesh(pp=2, dp=1)
+    sp = pl.shard_params_pp(mesh, params)
+    x = jax.random.randint(jax.random.PRNGKey(1), (4, 16, 6), 0, 8)
+    y = jnp.roll(x, -1, axis=1)
+    mask = jnp.ones((4, 16), jnp.float32)
+
+    g_full, _ = pt.agent_pp_grad_step(sp, cfg, x, y, mask,
+                                      jax.random.PRNGKey(2), mesh=mesh)
+    g1, _ = pt.agent_pp_grad_step(sp, cfg, x[:2], y[:2], mask[:2],
+                                  jax.random.PRNGKey(3), mesh=mesh,
+                                  scale=0.5)
+    g2, _ = pt.agent_pp_grad_step(sp, cfg, x[2:], y[2:], mask[2:],
+                                  jax.random.PRNGKey(4), mesh=mesh,
+                                  scale=0.5)
+    gsum = pt._tree_add(g1, g2)
+    d = jax.tree_util.tree_map(
+        lambda a, b: float(jnp.max(jnp.abs(a - b))), g_full, gsum)
+    assert max(jax.tree_util.tree_leaves(d)) < 1e-6

@@ -127,3 +127,36 @@ def test_grad_accum_matches_large_batch():
     d = jax.tree_util.tree_map(
         lambda a, b: float(jnp.max(jnp.abs(a - b))), p_ref, p_acc)
     assert max(jax.tree_util.tree_leaves(d)) < 1e-6
+
+
+def test_longformer_grad_accum_matches_big_batch():
+    """VERDICT r4 #3: the accumulation path covers the discriminator LM —
+    longformer_grad_step micro-grads (1/K-scaled) sum to the big-batch
+    gradient of longformer_lm_step's loss."""
+    import reinforcement_learning_in_music_generation_tpu.train.pretrain as pt
+    from reinforcement_learning_in_music_generation_tpu.models import (
+        longformer as lf)
+    from reinforcement_learning_in_music_generation_tpu.ops.losses import (
+        fields_cross_entropy)
+
+    wcfg = C.WindowTransformerConfig(
+        vocab_sizes=(8,) * 6, emb_sizes=(8,) * 6, d_model=16, n_layer=1,
+        n_head=2, d_inner=32, max_pos=64, attention_window=8, dropout=0.0)
+    params = lf.init_params(jax.random.PRNGKey(0), wcfg)
+    x = jax.random.randint(jax.random.PRNGKey(1), (4, 16, 6), 0, 8)
+    y = jnp.roll(x, -1, axis=1)
+    mask = jnp.ones((4, 16), jnp.float32)
+
+    def loss_fn(p):
+        logits = lf.token_logits(p, wcfg, x, mask, deterministic=True)
+        return jnp.mean(fields_cross_entropy(logits, y, mask))
+    g_full = jax.grad(loss_fn)(params)
+
+    g1, _ = pt.longformer_grad_step(params, wcfg, x[:2], y[:2], mask[:2],
+                                    jax.random.PRNGKey(2), scale=0.5)
+    g2, _ = pt.longformer_grad_step(params, wcfg, x[2:], y[2:], mask[2:],
+                                    jax.random.PRNGKey(3), scale=0.5)
+    gsum = pt._tree_add(g1, g2)
+    d = jax.tree_util.tree_map(
+        lambda a, b: float(jnp.max(jnp.abs(a - b))), g_full, gsum)
+    assert max(jax.tree_util.tree_leaves(d)) < 1e-6
