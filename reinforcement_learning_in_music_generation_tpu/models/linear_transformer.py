@@ -281,11 +281,16 @@ def _layer_forward(cfg: LinearTransformerConfig, h: jax.Array, lp: dict,
         b, s, d = h.shape
         dh = d // cfg.n_head
         att = None
-        if explicit_attn == "pallas-qkv":
-            # r4: qkv projection + chunked recurrence in ONE pallas
-            # kernel (ops/attention_block.py) — the (N, 3D) qkv tensor
-            # and the per-chunk (C, C) score matrices never touch HBM.
-            # Opt-in until the on-chip A/B lands (BENCH.md r4).
+        if explicit_attn in ("pallas-qkv", None, ""):
+            # qkv projection + chunked recurrence in ONE pallas kernel
+            # (ops/attention_block.py) — the (N, 3D) qkv tensor and the
+            # per-chunk (C, C) score matrices never touch HBM.  DEFAULT
+            # inside the fused-tail shape (rows >= 8192, tp == 1, TPU)
+            # since r5: three independent on-chip step A/Bs all favor it
+            # (+2.0% r4; +0.73%/+0.78% r5 with ~0.1% run variance —
+            # BENCH.md r5).  Explicit "xla" keeps the XLA composition;
+            # _qkv_attention_call returns None (clean fallback) for
+            # odd heads / tp>1 / ragged chunks.
             att = _qkv_attention_call(cfg, lp, h, dp_mesh)
         if att is None:
             bshe = lambda x: x.reshape(b, s, cfg.n_head, dh)

@@ -44,6 +44,17 @@ preferred_element_type=f32); att / phi-qkv residuals round to the
 activation dtype on store, den stays f32 (it divides).  Parity vs the
 XLA composition is gated by tests/test_attention_block.py (f32 tight,
 bf16 loose).
+
+MEASURED (on-chip step A/B, bench_pretrain protocol, B=32 x S=512 bf16):
+r4 334,287 -> 340,876 tok/s (+2.0%); r5 re-runs 336,325 -> 338,779 and
+336,385 -> 338,996 (+0.73%/+0.78%, run-to-run variance ~0.1%).  Small
+but reproducibly positive (3/3 passes), so since r5 this kernel is the
+DEFAULT inside the fused-tail training shape (rows >= 8192, tp == 1;
+models/linear_transformer.py:_layer_forward); RLMG_ATTN_BACKEND=xla
+opts out.  The r4 device trace explains the modest size of the win:
+~75% of the step already sits inside pallas kernels and the attention
+region is compute-bound, so eliminating its HBM round-trips moves
+little (BENCH.md r4/r5).
 """
 
 from __future__ import annotations
