@@ -229,7 +229,7 @@ def _persistent_chunk_fn(cfg, n, greedy, temps, topps):
 @functools.lru_cache(maxsize=16)
 def _latency_pack_fn(cfg, dtype_str):
     from ..models import common as cm
-    from ..ops import decode_kernel_v8 as dk8
+    from ..ops.experimental import decode_kernel_v8 as dk8
 
     @jax.jit
     def pack(params):
@@ -244,7 +244,7 @@ def _latency_seed_fn(cfg, dtype_str, state_dtype_str):
     """Teacher-forced seeding through the XLA recurrent path + packing
     into the v4/v7/v8 head-pair state layout."""
     from ..models import common as cm
-    from ..ops import decode_kernel_v8 as dk8
+    from ..ops.experimental import decode_kernel_v8 as dk8
     dtype = jnp.dtype(dtype_str)
     sdt = jnp.dtype(state_dtype_str)
 
@@ -265,7 +265,7 @@ def _latency_chunk_fn(cfg, n, greedy, temps, topps, version="v8"):
         from ..ops.experimental import decode_kernel_v7 as dk
         fused = dk.fused_decode_v7
     else:
-        from ..ops import decode_kernel_v8 as dk
+        from ..ops.experimental import decode_kernel_v8 as dk
         fused = dk.fused_decode_v8
 
     @jax.jit
@@ -279,9 +279,11 @@ def _latency_chunk_fn(cfg, n, greedy, temps, topps, version="v8"):
 
 def latency_kernel_version() -> str:
     """Which latency-family kernel the latency path dispatches to:
-    "v8" (one grid program per token, in-kernel layer fori_loop — the
-    fix for v7's measured 12-launches/token floor) or "v7" (experimental,
-    grid (T, L), kept for A/Bs).  RLMG_LATENCY_KERNEL overrides."""
+    "v8" (one grid program per token, in-kernel layer fori_loop) or
+    "v7" (grid (T, L)).  Both are quarantined experimental kernels with
+    measured NEGATIVE on-chip results (BENCH.md r4/r5: v8 465 us/step at
+    B=1 vs v4's 329); the family is opt-in only (latency_max_batch()
+    defaults to 0) and kept for A/Bs.  RLMG_LATENCY_KERNEL overrides."""
     v = os.environ.get("RLMG_LATENCY_KERNEL", "v8")
     if v not in ("v7", "v8"):
         raise ValueError(f"RLMG_LATENCY_KERNEL must be v7 or v8, got {v!r}")
@@ -359,10 +361,11 @@ def generate_tokens_latency(params, cfg: LinearTransformerConfig,
                             tuple(smp.CP_SAMPLING),
                             chunk: Optional[int] = None) -> GenResult:
     """generate_tokens via the latency-family kernels: v8
-    (ops/decode_kernel_v8, default — ONE grid program per token with an
-    in-kernel fori_loop over layer slabs, the fix for v7's measured
-    12-launches/token floor) or v7 (ops/experimental/decode_kernel_v7,
-    grid (T, L), kept for A/Bs; RLMG_LATENCY_KERNEL selects).  Both keep
+    (ops/experimental/decode_kernel_v8, default — ONE grid program per
+    token with an in-kernel fori_loop over layer slabs) or v7
+    (ops/experimental/decode_kernel_v7, grid (T, L));
+    RLMG_LATENCY_KERNEL selects.  Both measured NEGATIVE vs v4 on chip
+    (BENCH.md r5) and are opt-in A/B paths only.  Both keep
     all weights + state VMEM-resident across the chunk, so per-token HBM
     traffic is one pe row in and one token row out — built for the
     reference's actual serving scenario (one song at a time,
@@ -608,7 +611,7 @@ def generate_tokens(params, cfg: LinearTransformerConfig, rng: jax.Array,
                                         pe_table=pe)
         h = hp.astype(dtype)
         if fused:   # v4 pair layout (even n_head guaranteed above)
-            from ..ops.decode_kernel_v8 import pack_state_pair
+            from ..ops.experimental.decode_kernel_v8 import pack_state_pair
             sdt = state.s.dtype
             s4, z4 = pack_state_pair(dstate.s.astype(sdt),
                                      dstate.z.astype(sdt))

@@ -77,9 +77,9 @@ from ..decode_kernel_v3 import _gelu_exact, _ln, _phi
 from ..decode_common import NEG, VF_PAD, gumbel_from_bits
 from ..linear_attention import DEFAULT_EPS
 # shared resident-layout packing + sampling helpers live in the
-# production v8 module (ops/decode_kernel_v8) since r5; v7 keeps its
+# v8 module (quarantined here after the r5 negative A/B); v7 keeps its
 # public names as aliases
-from ..decode_kernel_v8 import (
+from .decode_kernel_v8 import (
     ResidentParams, make_resident_params, pack_state_pair,
     unpack_state_pair, _argmax_first_lane, _nucleus_keep_lane, _field_col)
 

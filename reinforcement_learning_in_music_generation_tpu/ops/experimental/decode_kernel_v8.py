@@ -1,4 +1,21 @@
-"""One-program-per-token latency decode kernel v8 (r5).
+"""One-program-per-token latency decode kernel v8 (r5) — NEGATIVE RESULT.
+
+Quarantined to ops/experimental after the r5 on-chip A/B (BENCH.md r5):
+v8 measured 465 us/step at B=1 (2,149 tok/s) vs v7's 449 us and v4's
+329 us (3,040 tok/s); at B=8 it was 467 us vs v4's 325 us.  Collapsing
+the 12 per-layer grid programs into ONE program per token did not move
+the needle vs v7 (within 4%) and LOST ~40% to v4 — which falsifies the
+launch-overhead hypothesis the same way v7 falsified the weight-traffic
+one.  The remaining decomposition: v4's per-layer kernels let Mosaic
+double-buffer each layer's weight DMA across grid steps and let XLA
+overlap the sampling glue with kernel dispatch, while v8's in-kernel
+`fori_loop` serializes DMA-wait -> compute per layer slab with no
+cross-layer overlap.  B=1 decode is compute/feedback-latency bound at
+~330 us/step on this chip; v4 stays the latency dispatch.
+
+Opt-in via RLMG_LATENCY_KERNEL=v8 (sampler latency family); default
+auto-dispatch keeps latency_max_batch() = 0.
+
 
 The r4 A/B falsified the weight-traffic hypothesis for the small-batch
 decode wall: the weight-resident v7 kernel (grid (T, L), one program per
@@ -57,10 +74,10 @@ try:  # pallas TPU backend is unavailable on CPU-only hosts
 except Exception:  # pragma: no cover
     pltpu = None
 
-from .decode_kernel_v3 import _gelu_exact, _ln, _phi
-from .decode_common import NEG, VF_PAD, gumbel_from_bits
-from .decode_kernel_v4 import make_v4_params
-from .linear_attention import DEFAULT_EPS
+from ..decode_kernel_v3 import _gelu_exact, _ln, _phi
+from ..decode_common import NEG, VF_PAD, gumbel_from_bits
+from ..decode_kernel_v4 import make_v4_params
+from ..linear_attention import DEFAULT_EPS
 
 
 class ResidentParams(NamedTuple):
@@ -90,7 +107,7 @@ class ResidentParams(NamedTuple):
 
 def make_resident_params(params: dict, cfg, pe_table, dtype=jnp.bfloat16
                          ) -> ResidentParams:
-    from ..models import common as cm
+    from ...models import common as cm
     f32 = jnp.float32
     v4p = make_v4_params(params, cfg, dtype=dtype)
 

@@ -1,4 +1,7 @@
-"""v8 one-program-per-token latency decode kernel (ops/decode_kernel_v8).
+"""v8 one-program-per-token latency decode kernel
+(ops/experimental/decode_kernel_v8 — quarantined after the r5 negative
+on-chip A/B; parity coverage stays because the kernel remains reachable
+via RLMG_LATENCY_KERNEL / generate_tokens_latency).
 
 Interpret-mode (TPU-interpret on CPU) parity vs the XLA recurrent path:
 with f32 weights + f32 state the kernel is argmax-equivalent to
@@ -18,7 +21,7 @@ from jax.experimental.pallas import tpu as pltpu
 from reinforcement_learning_in_music_generation_tpu import config as C
 from reinforcement_learning_in_music_generation_tpu.models import (
     common as cm, linear_transformer as lt)
-from reinforcement_learning_in_music_generation_tpu.ops import (
+from reinforcement_learning_in_music_generation_tpu.ops.experimental import (
     decode_kernel_v8 as dk8)
 
 CFG = C.LinearTransformerConfig(
