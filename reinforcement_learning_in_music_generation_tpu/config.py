@@ -217,10 +217,12 @@ class AIRLConfig:
     batch_size: int = 100
     lr_step: int = 10
     lr_gamma: float = 0.1
-    # buffer re-scoring batch (pure inference).  Measured on v5e: 100 beats
-    # 500/2000 (955 vs 985/1451 ms per 20000 states) — the dense (B,H,S,S)
+    # buffer re-scoring batch (pure inference).  Swept on chip r5
+    # (BENCH.md): 100 is the optimum — 0.861 s/pass vs 1.03/1.41/1.61 at
+    # 500/1000/2000 over the 20k double buffer.  The dense (B,H,S,S)
     # attention score tensors are the HBM cost and scale with batch, so
-    # bigger inference batches LOSE here; kept as a knob
+    # bigger inference batches LOSE, and BN-train-mode scores drift from
+    # the reference's bs=100 semantics (~0.004 at 500+); kept as a knob
     score_batch_size: int = 100
 
 
