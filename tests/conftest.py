@@ -27,7 +27,7 @@ jax.config.update("jax_platforms", "cpu")
 _cache_dir = os.path.join(os.path.dirname(__file__), "..", ".jax_cache")
 try:
     jax.config.update("jax_compilation_cache_dir", _cache_dir)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 except Exception:
     pass
 

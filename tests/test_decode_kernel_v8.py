@@ -82,6 +82,7 @@ def test_greedy_stream_matches_xla():
                                rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.slow  # experimental kernel (negative A/B, BENCH.md r5); fast greedy/stochastic coverage remains
 def test_chunk_invariance():
     params, pe, rp, toks, st, s4, z4 = _setup()
     tok0T = toks[:, -1].astype(jnp.int32).T
