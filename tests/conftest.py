@@ -23,7 +23,11 @@ import jax  # noqa: E402
 # update below is the reliable way to pin tests to the virtual CPU mesh.
 jax.config.update("jax_platforms", "cpu")
 
-# persistent compilation cache: repeat suite runs skip most XLA compiles
+# Persistent compilation cache: repeat suite runs skip most XLA compiles.
+# min_compile_time 0 (not the 1.0s bench default): profiled on the 1-vCPU
+# test host, the suite's dominant cost is thousands of ~0.3s op-by-op
+# eager compiles (e.g. init_params = ~50 eager RNG ops = ~15s) that a
+# 1.0s threshold never caches.  Measured: 258s warm vs 467s populate run.
 _cache_dir = os.path.join(os.path.dirname(__file__), "..", ".jax_cache")
 try:
     jax.config.update("jax_compilation_cache_dir", _cache_dir)
