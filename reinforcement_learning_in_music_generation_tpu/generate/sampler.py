@@ -101,20 +101,24 @@ def use_persistent_decode(batch: Optional[int] = None) -> bool:
 
 
 def latency_max_batch() -> int:
-    """Largest batch routed to the v7 weight-resident latency kernel
-    (ops/experimental/decode_kernel_v7): all ~79 MB of bf16 weights stay VMEM-resident
-    for the whole chunk, removing the per-token weight stream that binds
-    the v4 per-step path at small batch (~184 us of its 284 us/step at
-    B=1, BENCH.md r3 latency table).  0 disables the path.
+    """Largest batch routed to the latency-family kernel —
+    `latency_kernel_version()` picks v8 (one grid program per token,
+    the default) or v7 (weight-resident chunk), both in
+    ops/experimental/.  The family targets the per-token launch +
+    weight-stream overhead that binds the v4 per-step path at small
+    batch (~184 us of its 284 us/step at B=1, BENCH.md r3 latency
+    table).  0 disables the path.
 
-    Default 0 (opt-in) until the on-chip A/B lands — the platform lesson
-    is that defaults only claim shapes with a measured win.
+    Default 0 (opt-in): both kernels measured NEGATIVE vs v4 on chip
+    (v7 tied, v8 465 us/step at B=1 — BENCH.md r4/r5), and the platform
+    lesson is that defaults only claim shapes with a measured win.
     RLMG_LATENCY_MAX_BATCH overrides."""
     return int(os.environ.get("RLMG_LATENCY_MAX_BATCH", "0"))
 
 
 def use_latency_decode(batch: Optional[int] = None) -> bool:
-    """v7 weight-resident persistent kernel auto-dispatch: TPU, stochastic,
+    """Latency-family kernel auto-dispatch (v8 by default, v7 via
+    RLMG_LATENCY_KERNEL — see latency_kernel_version()): TPU, stochastic,
     batch <= latency_max_batch().  RLMG_LATENCY_DECODE=0/1 overrides
     everything.  Like v6 this is a throughput-equivalent stochastic path
     (bf16 MXU rounding), so greedy runs never auto-dispatch here."""

@@ -275,7 +275,13 @@ def serve_requests(params, cfg: LinearTransformerConfig,
     silent re-serve-everything / skip-everything of a bare file cursor
     (VERDICT r4 weak #7).  Requests without an "id" get a synthetic
     `@<byte-offset>` id, stable across restarts because the request file
-    is append-only.
+    is append-only (the tail cursor counts BYTES — the file is read in
+    binary and each line decoded individually, so multi-byte UTF-8 in
+    one request can't desync later offsets).  A consumed shutdown line
+    is journaled too, so a restarted daemon skips it and serves requests
+    appended after it.  Journal entries are newline-delimited; ids are
+    escaped (backslash, \\n, \\r) before journaling so a hostile id
+    can't forge or split entries.
 
     The reference has no serving story at all — its inference scripts
     load the model per invocation (testing-no-type-cp.py, inference.py).
@@ -289,10 +295,16 @@ def serve_requests(params, cfg: LinearTransformerConfig,
     done_ids = set()
     try:
         with open(journal_path, "r") as jf:
-            done_ids = {ln.strip() for ln in jf if ln.strip()}
+            done_ids = {ln.rstrip("\n") for ln in jf if ln.rstrip("\n")}
     except FileNotFoundError:
         pass
     journal = open(journal_path, "a")
+
+    def _safe_id(rid: str) -> str:
+        # one journal line per id: escape the line-structure characters
+        # (deterministic, so dedup compares escaped-to-escaped)
+        return (rid.replace("\\", "\\\\")
+                   .replace("\n", "\\n").replace("\r", "\\r"))
 
     def _mark_done(rid: str):
         journal.write(rid + "\n")
@@ -308,22 +320,26 @@ def serve_requests(params, cfg: LinearTransformerConfig,
                 return served
             if max_requests is not None and served >= max_requests:
                 return served
-            lines = []          # [(byte offset of line start, text)]
+            lines = []          # [(byte offset of line start, raw bytes)]
             try:
-                with open(requests_path, "r") as f:
+                # binary tail: the cursor and per-line offsets count
+                # bytes (what f.seek consumes), so a multi-byte UTF-8
+                # character in one request can't drift the cursor or
+                # change later synthetic '@<offset>' ids across restarts
+                with open(requests_path, "rb") as f:
                     f.seek(offset)
                     chunk = f.read()
             except FileNotFoundError:
-                chunk = ""
+                chunk = b""
             if chunk:
                 # only consume COMPLETE lines (a producer may be mid-append)
-                complete, _, partial = chunk.rpartition("\n")
+                complete, _, partial = chunk.rpartition(b"\n")
                 if complete:
                     pos = offset
-                    for ln in complete.split("\n"):
-                        if ln.strip():
-                            lines.append((pos, ln))
-                        pos += len(ln) + 1
+                    for raw in complete.split(b"\n"):
+                        if raw.strip():
+                            lines.append((pos, raw))
+                        pos += len(raw) + 1
                     offset += len(complete) + 1
             if not lines:
                 if (idle_timeout_s is not None
@@ -331,18 +347,23 @@ def serve_requests(params, cfg: LinearTransformerConfig,
                     return served
                 _time.sleep(poll_s)
                 continue
-            for ln_off, ln in lines:
+            for ln_off, raw in lines:
                 try:
-                    req = json.loads(ln)
-                except json.JSONDecodeError:
+                    req = json.loads(raw.decode("utf-8"))
+                except (UnicodeDecodeError, json.JSONDecodeError):
                     continue
-                if req.get("cmd") == "shutdown":
-                    return served
-                # at-least-once dedup: skip requests a previous daemon
-                # incarnation already served (see docstring)
-                rid = str(req["id"]) if "id" in req else f"@{ln_off}"
+                # at-least-once dedup: skip requests (and shutdown lines)
+                # a previous daemon incarnation already consumed
+                rid = (_safe_id(str(req["id"])) if "id" in req
+                       else f"@{ln_off}")
                 if rid in done_ids:
                     continue
+                if req.get("cmd") == "shutdown":
+                    # journal the consumed shutdown so a restarted daemon
+                    # skips it and serves requests appended after it
+                    _mark_done(rid)
+                    done_ids.add(rid)
+                    return served
                 rng = jax.random.PRNGKey(int(req.get("seed",
                                                    base_seed + served)))
                 if req.get("prompt") and prompt_loader is not None:

@@ -8,23 +8,20 @@ OUT="${RLMG_ONCHIP_OUT:-/tmp/r5_onchip}"
 mkdir -p "$OUT"
 cd "$REPO"
 
-PROBE_EVERY="${RLMG_PROBE_EVERY:-300}"
-PARK_BUDGET="${RLMG_PARK_BUDGET:-14400}"
-SECONDS=0
-until python scripts/tpu_probe.py 240 >/dev/null 2>&1; do
-  if [ "$SECONDS" -ge "$PARK_BUDGET" ]; then
-    echo "[r5b] backend still down after ${SECONDS}s wall; exiting"
-    exit 1
-  fi
-  echo "[r5b] backend down; re-probe in ${PROBE_EVERY}s (elapsed ${SECONDS}s)"
-  sleep "$PROBE_EVERY"
-done
+# park until the backend answers (shared probe-park policy;
+# ADVICE r5: one implementation in scripts/park_probe.sh)
+RLMG_PARK_BUDGET="${RLMG_PARK_BUDGET:-14400}" \
+  bash scripts/park_probe.sh || { echo "[r5b] backend down; exiting"; exit 1; }
 echo "[r5b] backend UP $(date -u +%H:%M:%S)"
 
 run_job() {
   local name="$1" tmo="$2"; shift 2
   echo "[r5b] >>> $name start $(date -u +%H:%M:%S)"
-  timeout "$tmo" "$@" > "$OUT/$name.log" 2>&1
+  # in-Python deadline (scripts/with_deadline.py): a slow job gets a
+  # grace period to finish its fetch; never SIGTERMed mid-flight
+  local prog="$1"; shift
+  [ "$prog" = python ] || { echo "run_job expects python jobs"; return 2; }
+  python scripts/with_deadline.py "$tmo" "$@" > "$OUT/$name.log" 2>&1
   echo "[r5b] <<< $name rc=$? $(date -u +%H:%M:%S)"
   tail -8 "$OUT/$name.log"
 }

@@ -227,3 +227,70 @@ def test_serve_requests_crash_restart_dedup(tmp_path):
                                 batch=2, poll_s=0.05, max_requests=1,
                                 max_tokens_per_song=64)
     assert n3 == 1 and served == ["a", "anon", "c"]
+
+
+def test_serve_requests_restart_after_shutdown_serves_new_work(tmp_path):
+    """A consumed shutdown line is journaled: a daemon restarted after a
+    clean shutdown skips the stale shutdown command and serves requests
+    appended after it (round-5 review finding — previously every restart
+    re-hit the shutdown line and exited with served=0 forever)."""
+    cfg = _cfg()
+    params = lt.init_params(jax.random.PRNGKey(0), cfg)
+    reqs = tmp_path / "reqs.jsonl"
+    reqs.write_text('{"id": "a", "songs": 1, "bars": 2, "seed": 1}\n'
+                    '{"cmd": "shutdown"}\n')
+    served = []
+    on_result = lambda req, res: served.append(req["id"])  # noqa: E731
+
+    n1 = serving.serve_requests(params, cfg, str(reqs), on_result,
+                                batch=2, poll_s=0.05,
+                                max_tokens_per_song=64)
+    assert n1 == 1 and served == ["a"]
+
+    # restart with new work appended after the consumed shutdown line
+    with open(reqs, "a") as f:
+        f.write('{"id": "b", "songs": 1, "bars": 2, "seed": 2}\n')
+    n2 = serving.serve_requests(params, cfg, str(reqs), on_result,
+                                batch=2, poll_s=0.05, max_requests=1,
+                                max_tokens_per_song=64)
+    assert n2 == 1 and served == ["a", "b"]
+
+
+def test_serve_requests_byte_cursor_multibyte_and_hostile_ids(tmp_path):
+    """The tail cursor counts bytes, so a multi-byte UTF-8 request line
+    doesn't desync later reads or synthetic @offset ids across restarts;
+    ids containing newlines are escaped to one journal line each, so
+    they can't forge or clobber other requests' dedup entries."""
+    cfg = _cfg()
+    params = lt.init_params(jax.random.PRNGKey(0), cfg)
+    reqs = tmp_path / "reqs.jsonl"
+    # é = 2 UTF-8 bytes (would desync a char-counted cursor); a newline
+    # id (legal JSON) that would previously journal as two lines "x","b"
+    reqs.write_text('{"id": "café", "songs": 1, "bars": 2, "seed": 1}\n'
+                    '{"id": "x\\nb", "songs": 1, "bars": 2, "seed": 2}\n'
+                    '{"songs": 1, "bars": 2, "seed": 3}\n'
+                    '{"id": "b", "songs": 1, "bars": 2, "seed": 4}\n',
+                    encoding="utf-8")
+    served = []
+    on_result = lambda req, res: served.append(req.get("id", "anon"))  # noqa: E731
+
+    n1 = serving.serve_requests(params, cfg, str(reqs), on_result,
+                                batch=2, poll_s=0.05, max_requests=4,
+                                max_tokens_per_song=64)
+    assert n1 == 4 and served == ["café", "x\nb", "anon", "b"]
+    journal = (tmp_path / "reqs.jsonl.journal").read_text(
+        encoding="utf-8").splitlines()
+    # one journal line per request: escaped newline id, byte-true offset
+    assert journal == ["café", "x\\nb",
+                       "@" + str(len('{"id": "café", "songs": 1, '
+                                     '"bars": 2, "seed": 1}\n'.encode())
+                                 + len('{"id": "x\\nb", "songs": 1, '
+                                       '"bars": 2, "seed": 2}\n')),
+                       "b"]
+
+    # restart: nothing re-served (the "b" id was NOT clobbered by the
+    # newline id's journal entry; the anonymous @offset id matches)
+    n2 = serving.serve_requests(params, cfg, str(reqs), on_result,
+                                batch=2, poll_s=0.05, idle_timeout_s=0.3,
+                                max_tokens_per_song=64)
+    assert n2 == 0 and len(served) == 4
